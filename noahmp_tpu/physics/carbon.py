@@ -1,0 +1,171 @@
+"""Dynamic vegetation carbon cycle (DVEG=2|5).
+
+Reference: CARBON (module_sf_noahmplsm.F90:8723-8835) and CO2FLUX
+(:8837-9105) — Dickinson et al. 1998 carbon pools: photosynthesis
+assimilation, allocation to leaf/stem/root/wood, maintenance+growth
+respiration (Q10), turnover/death, and soil microbial respiration.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class CarbonOut(NamedTuple):
+    lfmass: jnp.ndarray
+    rtmass: jnp.ndarray
+    stmass: jnp.ndarray
+    wood: jnp.ndarray
+    stblcp: jnp.ndarray
+    fastcp: jnp.ndarray
+    lai: jnp.ndarray
+    sai: jnp.ndarray
+    gpp: jnp.ndarray
+    npp: jnp.ndarray
+    nee: jnp.ndarray
+    autors: jnp.ndarray
+    heters: jnp.ndarray
+    totsc: jnp.ndarray
+    totlb: jnp.ndarray
+
+
+def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
+           igs, troot, lat, lfmass, rtmass, stmass, wood, stblcp,
+           fastcp) -> CarbonOut:
+    """CARBON + CO2FLUX.
+
+    ``stc_soil`` is the (nsoil,) soil temperature vector.  Non-vegetated
+    categories (water/barren/snow/urban) are zeroed by the ``is_veg``
+    mask, matching CARBON's early return (:8792-8810).
+    """
+    dt = cfg.dt
+    nsoil = cfg.nsoil
+    dzs = jnp.asarray(cfg.dzs, tv.dtype)
+    zsoil = jnp.asarray(cfg.zsoil, tv.dtype)
+
+    if cfg.llanduse == "USGS":
+        nonveg = ((p.vegtyp == 16) | (p.vegtyp == 19) | (p.vegtyp == 24)
+                  | p.is_urban)
+        is_eblforest = p.vegtyp == 13
+    else:
+        nonveg = ((p.vegtyp == 17) | (p.vegtyp == 16) | (p.vegtyp == 15)
+                  | p.is_urban)
+        is_eblforest = p.vegtyp == 2
+
+    lapm = p.sla / 1000.0
+    wstres = 1.0 - btran
+    root_mask = jnp.arange(nsoil) < p.nroot
+    znroot = jnp.sum(jnp.where(root_mask, dzs, 0.0))
+    wroot = jnp.sum(jnp.where(root_mask,
+                              smc / p.smcmax * dzs / jnp.maximum(znroot, 1e-6),
+                              0.0))
+
+    # --- CO2FLUX (:8837-9105) ---
+    rtovrc, rsdryc, rswoodc = 2.0e-8, 40.0, 3.0e-10
+    bf, wstrc = 0.90, 100.0
+    laimin, xsamin = 0.05, 0.01
+    sapm = 3.0 * 0.001
+    lfmsmn = laimin / jnp.maximum(lapm, 1e-8)
+    stmsmn = xsamin / sapm
+
+    # XLAI enters CO2FLUX from the previous LFMASS (:8742 inout XLAI)
+    xlai = jnp.maximum(lfmass * lapm, laimin)
+    # respiration (:8988-9000)
+    rf = jnp.where(igs == 0.0, 0.5, 1.0)
+    fnf = jnp.minimum(foln / jnp.maximum(1.0e-6, p.folnmx), 1.0)
+    tf = p.arm ** ((tv - 298.16) / 10.0)
+    resp = p.rmf25 * tf * fnf * xlai * rf * (1.0 - wstres)
+    rsleaf = jnp.minimum(lfmass / dt, resp * 12.0e-6)
+    rsroot = p.rmr25 * (rtmass * 1.0e-3) * tf * rf * 12.0e-6
+    rsstem = p.rms25 * (stmass * 1.0e-3) * tf * rf * 12.0e-6
+    rswood = rswoodc * jnp.exp(0.08 * (tv - 298.16)) * wood * p.wdpool
+
+    carbfx = psn * 12.0e-6
+
+    # allocation fractions (:9009-9030)
+    leafpt = jnp.exp(0.01 * (1.0 - jnp.exp(0.75 * xlai)) * xlai)
+    leafpt = jnp.where(is_eblforest,
+                       jnp.exp(0.01 * (1.0 - jnp.exp(0.50 * xlai)) * xlai),
+                       leafpt)
+    nonlef = 1.0 - leafpt
+    stempt = xlai / 10.0
+    leafpt = leafpt - stempt
+    woodf = jnp.where(wood > 0.0,
+                      (1.0 - jnp.exp(-bf * (p.wrrat * rtmass
+                                            / jnp.maximum(wood, 1e-6))) / bf)
+                      * p.wdpool,
+                      0.0)
+    rootpt = nonlef * (1.0 - woodf)
+    woodpt = nonlef * woodf
+
+    # turnover & death (:9034-9046)
+    lftovr = p.ltovrc * 1.0e-6 * lfmass
+    sttovr = p.ltovrc * 1.0e-6 * stmass
+    rttovr = rtovrc * rtmass
+    wdtovr = 9.5e-10 * wood
+    sc = jnp.exp(-0.3 * jnp.maximum(0.0, tv - p.tdlef)) * (lfmass / 120.0)
+    sd = jnp.exp((wstres - 1.0) * wstrc)
+    dielf = lfmass * 1.0e-6 * (p.dilefw * sd + p.dilefc * sc)
+    diest = stmass * 1.0e-6 * (p.dilefw * sd + p.dilefc * sc)
+
+    # growth respiration (:9050-9053)
+    grleaf = jnp.maximum(0.0, p.fragr * (leafpt * carbfx - rsleaf))
+    grstem = jnp.maximum(0.0, p.fragr * (stempt * carbfx - rsstem))
+    grroot = jnp.maximum(0.0, p.fragr * (rootpt * carbfx - rsroot))
+    grwood = jnp.maximum(0.0, p.fragr * (woodpt * carbfx - rswood))
+
+    addnpplf = jnp.maximum(0.0, leafpt * carbfx - grleaf - rsleaf)
+    addnppst = jnp.maximum(0.0, stempt * carbfx - grstem - rsstem)
+    cold = tv < p.tmin
+    addnpplf = jnp.where(cold, 0.0, addnpplf)
+    addnppst = jnp.where(cold, 0.0, addnppst)
+
+    lfdel = (lfmass - lfmsmn) / dt
+    stdel = (stmass - stmsmn) / dt
+    dielf = jnp.minimum(dielf, lfdel + addnpplf - lftovr)
+    diest = jnp.minimum(diest, stdel + addnppst - sttovr)
+
+    nppl = jnp.maximum(addnpplf, -lfdel)
+    npps = jnp.maximum(addnppst, -stdel)
+    nppr = rootpt * carbfx - rsroot - grroot
+    nppw = woodpt * carbfx - rswood - grwood
+
+    lfmass = lfmass + (nppl - lftovr - dielf) * dt
+    stmass = stmass + (npps - sttovr - diest) * dt
+    rtmass_n = rtmass + (nppr - rttovr) * dt
+    rttovr = jnp.where(rtmass_n < 0.0, nppr, rttovr)
+    rtmass = jnp.maximum(rtmass_n, 0.0)
+    wood = (wood + (nppw - wdtovr) * dt) * p.wdpool
+
+    fastcp = fastcp + (rttovr + lftovr + sttovr + wdtovr + dielf) * dt
+    fst = 2.0 ** ((stc_soil[0] - 283.16) / 10.0)
+    fsw = wroot / (0.20 + wroot) * 0.23 / (0.23 + wroot)
+    rssoil = fsw * fst * p.mrp * jnp.maximum(0.0, fastcp * 1.0e-3) * 12.0e-6
+    stablc = 0.1 * rssoil
+    fastcp = fastcp - (rssoil + stablc) * dt
+    stblcp = stblcp + stablc * dt
+
+    gpp = carbfx
+    npp = nppl + nppw + nppr
+    autors = rsroot + rswood + rsleaf + grleaf + grroot + grwood
+    heters = rssoil
+    nee = (autors + heters - gpp) * 44.0 / 12.0
+    totsc = fastcp + stblcp
+    totlb = lfmass + rtmass + wood
+
+    xlai = jnp.maximum(lfmass * lapm, laimin)
+    xsai = jnp.maximum(stmass * sapm, xsamin)
+
+    z = jnp.zeros_like(tv)
+
+    def mask(x):
+        return jnp.where(nonveg, z, x)
+
+    return CarbonOut(
+        lfmass=mask(lfmass), rtmass=mask(rtmass), stmass=mask(stmass),
+        wood=mask(wood), stblcp=mask(stblcp), fastcp=mask(fastcp),
+        lai=mask(xlai), sai=mask(xsai), gpp=mask(gpp), npp=mask(npp),
+        nee=mask(nee), autors=mask(autors), heters=mask(heters),
+        totsc=mask(totsc), totlb=mask(totlb))
