@@ -1,0 +1,132 @@
+"""Grid-level model driver: vmapped column physics over a flat column
+axis.
+
+Reference: noahmplsm grid sweep (module_sf_noahmpdrv.F90:11-844).  The
+reference loops JLOOP/ILOOP over (i,j) cells calling scalar NOAHMP_SFLX
+per cell (:397-424); here the column axis is a single vmapped axis that
+XLA vectorizes onto the VPU/MXU, and the i/j->column flattening happens
+once in the driver.
+
+Cell classification (:426-441): open water is skipped entirely, sea ice
+(ICE=1) is skipped by this offline driver, land ice (ICE=-1) runs the
+glacier branch.  Here skipping = masked state pass-through, so water
+cells cost vector lanes but no divergence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from .. import constants as C
+from ..state.state import ColumnState, Forcing
+from ..physics.sflx import noahmp_sflx
+from ..physics.glacier import noahmp_glacier
+
+
+class GridMasks(NamedTuple):
+    land: jnp.ndarray      # bool: land cells (not open water / sea ice)
+    glacier: jnp.ndarray   # bool: land-ice cells (ICE = -1)
+
+
+def classify(vegtyp, xland, xice, iswater: int, isice: int,
+             xice_threshold: float = 0.5) -> GridMasks:
+    """Cell classification (module_sf_noahmpdrv.F90:426-441 +
+    driver sea-ice mask)."""
+    water = (xland > 1.5) | (vegtyp == iswater)
+    seaice = xice > xice_threshold
+    glacier = (vegtyp == isice) & ~seaice
+    land = ~water & ~seaice
+    return GridMasks(land=land, glacier=glacier)
+
+
+class GridAccum(NamedTuple):
+    """Per-column accumulated diagnostics
+    (module_sf_noahmpdrv.F90:733-752, :833-834)."""
+    sfcrunoff: jnp.ndarray
+    udrunoff: jnp.ndarray
+    acsnow: jnp.ndarray
+    acsnom: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, n, dtype=jnp.float32):
+        z = jnp.zeros((n,), dtype)
+        return cls(z, z, z, z)
+
+
+def first_step_guess(state: ColumnState, forcing: Forcing) -> ColumnState:
+    """First-timestep EAH/TAH/CH/CM initialization
+    (module_hrldas_noahmp_driver.F90:374-384)."""
+    eair = forcing.q2 * forcing.sfcprs / (0.622 + 0.378 * forcing.q2)
+    return state.__class__(**{
+        **{f: getattr(state, f) for f in state.__dataclass_fields__},
+        "eah": eair, "tah": forcing.sfctmp,
+        "cm": jnp.full_like(state.cm, 0.1),
+        "ch": jnp.full_like(state.ch, 0.1),
+    })
+
+
+def grid_step(cfg, params, state: ColumnState, forcing: Forcing,
+              masks: GridMasks, accum: GridAccum):
+    """One model step over all columns.
+
+    Returns (new_state, diag, new_accum).  Non-land columns keep their
+    state; their diagnostics are UNDEFINED fill.
+    """
+    step = jax.vmap(lambda p, s, f: noahmp_sflx(cfg, p, s, f))
+    s_new, d = step(params, state, forcing)
+
+    gstep = jax.vmap(lambda p, s, f: noahmp_glacier(cfg, p, s, f))
+    s_gl, d_gl = gstep(params, state, forcing)
+
+    def pick(land_v, glacier_v, old_v):
+        g = masks.glacier
+        land_only = masks.land & ~g
+        if land_v.ndim > 1:
+            g = g.reshape((-1,) + (1,) * (land_v.ndim - 1))
+            land_only = land_only.reshape(g.shape)
+        return jnp.where(g, glacier_v, jnp.where(land_only, land_v, old_v))
+
+    s_out = jtu.tree_map(pick, s_new, s_gl, state)
+
+    fill = jnp.asarray(C.UNDEFINED, d.fsa.dtype)
+
+    def pick_diag(land_v, glacier_v):
+        g = masks.glacier
+        land_only = masks.land & ~g
+        if land_v.ndim > 1:
+            g = g.reshape((-1,) + (1,) * (land_v.ndim - 1))
+            land_only = land_only.reshape(g.shape)
+        return jnp.where(g, glacier_v, jnp.where(land_only, land_v, fill))
+
+    d_out = jtu.tree_map(pick_diag, d, d_gl)
+
+    # accumulations (module_sf_noahmpdrv.F90:733-752)
+    lm = masks.land
+    dt = cfg.dt
+    acc = GridAccum(
+        sfcrunoff=accum.sfcrunoff + jnp.where(lm, d_out.runsrf * dt, 0.0),
+        udrunoff=accum.udrunoff + jnp.where(lm, d_out.runsub * dt, 0.0),
+        acsnow=accum.acsnow + jnp.where(lm, forcing.prcp * d_out.fpice * dt, 0.0),
+        acsnom=accum.acsnom + jnp.where(
+            lm, (d_out.qsnbot + d_out.ponding + d_out.ponding1
+                 + d_out.ponding2) * dt, 0.0),
+    )
+    return s_out, d_out, acc
+
+
+def scan_steps(cfg, params, state: ColumnState, forcings: Forcing,
+               masks: GridMasks, accum: GridAccum):
+    """Run a chunk of steps with lax.scan; forcings have a leading time
+    axis.  Returns (state, accum, stacked diagnostics)."""
+
+    def body(carry, f):
+        s, a = carry
+        s2, d, a2 = grid_step(cfg, params, s, f, masks, a)
+        return (s2, a2), d
+
+    (s_fin, a_fin), ds = jax.lax.scan(body, (state, accum), forcings)
+    return s_fin, a_fin, ds
