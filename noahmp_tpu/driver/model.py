@@ -1,0 +1,239 @@
+"""HRLDAS-style land driver: init, time loop, output/restart cadence.
+
+Reference: module_hrldas_noahmp_driver.F90 — land_driver_init
+(:89-306) and land_driver_exe (:309-595).
+
+The device-side work per step is one jitted grid_step (vmapped column
+physics); the host side builds forcing (file reads + time interp +
+CALC_DECLIN), steers output/restart cadence, and keeps the per-step
+timing heartbeat (:567-585).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from .. import constants as C
+from ..config import NoahMPConfig
+from ..state.state import ColumnState, Forcing
+from ..params.tables import load_tables
+from ..params.hydrate import hydrate
+from ..grid.driver import (GridMasks, GridAccum, classify, grid_step,
+                           first_step_guess)
+from ..grid.lateral import MMFState, wtable_mmf, eqsmoisture
+from .dates import calc_declin, geth_newdate, parse_date, yearlen
+from .init import cold_start
+from .namelist import RunSettings
+from ..io import netcdf_io as ncio
+
+WTDDT_MINUTES = 30.0  # groundwater cadence (module_hrldas_noahmp_vars.F90:165)
+
+
+@dataclasses.dataclass
+class LandModel:
+    """A running land model instance over a (ny, nx) domain."""
+    cfg: NoahMPConfig
+    rs: RunSettings
+    domain: "ncio.Domain"
+    params: object
+    state: ColumnState
+    masks: GridMasks
+    accum: GridAccum
+    date: str
+    itime: int = 0
+    mmf: MMFState = None
+    smceq: np.ndarray = None
+    stepwtd: int = 1
+    forcing_reader: object = None
+    history: object = None
+    _step_fn: object = None
+    _wtd_fn: object = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_namelist(cls, cfg, rs: RunSettings, table_dir="/root/reference/run"):
+        """land_driver_init (:89-306)."""
+        dom = ncio.read_domain(rs.const_file)
+        n = dom.ny * dom.nx
+        tables = load_tables(table_dir, cfg.llanduse)
+        vegtyp = dom.vegtyp.reshape(n)
+        soiltyp = dom.soiltyp.reshape(n)
+        params = hydrate(tables, vegtyp, soiltyp)
+        masks = classify(jnp.asarray(vegtyp),
+                         jnp.asarray(dom.xland.reshape(n)),
+                         jnp.asarray(dom.seaice.reshape(n)),
+                         dom.iswater, dom.isice)
+        accum = GridAccum.zeros(n)
+
+        if rs.from_restart:
+            path = Path(rs.resdir) / rs.restart_file
+            date, sf, af = ncio.read_restart(str(path), cfg, dom.ny, dom.nx)
+            base = cold_start(cfg, tables, vegtyp, soiltyp,
+                              tsk=np.full(n, 285.0, np.float32),
+                              smois=sf["smc"], stemp=sf["stc"][:, cfg.nsnow:])
+            fields = {f.name: getattr(base, f.name)
+                      for f in dataclasses.fields(base)}
+            for k, v in sf.items():
+                dt_ = jnp.int32 if k == "isnow" else jnp.float32
+                fields[k] = jnp.asarray(v, dt_)
+            state = ColumnState(**fields)
+            accum = GridAccum(**{k: jnp.asarray(v, jnp.float32)
+                                 for k, v in af.items()})
+        else:
+            path = Path(rs.init_file)
+            # minimal init read: reuse domain TMN/defaults when absent
+            state = cold_start(cfg, tables, vegtyp, soiltyp,
+                               tsk=dom.tmn.reshape(n),
+                               smois=np.full((n, cfg.nsoil), 0.3, np.float32),
+                               stemp=np.tile(dom.tmn.reshape(n, 1),
+                                             (1, cfg.nsoil)))
+            date = rs.start_date
+
+        mmf = None
+        smceq = np.full((n, cfg.nsoil), 0.25, np.float32)
+        stepwtd = 1
+        if cfg.opt_run == 5:
+            smceq = eqsmoisture(cfg, tables, soiltyp)
+            z = jnp.zeros(n, jnp.float32)
+            mmf = MMFState(
+                eqzwt=z, riverbed=z, rivercond=z + 0.01, pexp=z + 1.0,
+                fdepth=z + 100.0, area=z + dom.dx * dom.dx,
+                topo=jnp.asarray(dom.hgt.reshape(n)),
+                qrfs=z, qsprings=z, qslat=z, qrf=z, qspring=z, rech_acc=z)
+            stepwtd = max(int(round(WTDDT_MINUTES * 60.0 / cfg.dt)), 1)
+
+        m = cls(cfg=cfg, rs=rs, domain=dom, params=params, state=state,
+                masks=masks, accum=accum, date=date, mmf=mmf,
+                smceq=smceq, stepwtd=stepwtd)
+        if rs.indir:
+            m.forcing_reader = ncio.ForcingReader(rs.indir, rs.input_timestep)
+        m.history = ncio.HistoryWriter(rs.outdir, cfg, dom.ny, dom.nx,
+                                       vegtyp, soiltyp, dom.iswater)
+        m._step_fn = jax.jit(
+            lambda p, s, f, mk, a: grid_step(cfg, p, s, f, mk, a))
+        if cfg.opt_run == 5:
+            shape = (dom.ny, dom.nx)
+            m._wtd_fn = jax.jit(
+                lambda p, mmf, lm, se, w, sm, sh, sw, dr, rc:
+                wtable_mmf(cfg, p, mmf, shape, lm, se, w, sm, sh, sw,
+                           dr, rc, WTDDT_MINUTES))
+        return m
+
+    # ------------------------------------------------------------------
+    def build_forcing(self) -> Forcing:
+        """Per-step forcing: file read + interp + solar geometry
+        (land_driver_exe :321-366)."""
+        dom = self.domain
+        n = dom.ny * dom.nx
+        cosz, julian = calc_declin(self.date, dom.xlat, dom.xlong)
+        yl = yearlen(parse_date(self.date).year)
+        f32 = jnp.float32
+
+        if self.forcing_reader is not None:
+            epoch = self.itime * int(self.cfg.dt)
+            raw = self.forcing_reader.read(self.date, epoch)
+            t2d = raw["T2D"].reshape(n)
+            q2d = raw["Q2D"].reshape(n)
+            psfc = raw["PSFC"].reshape(n)
+            u2d, v2d = raw["U2D"].reshape(n), raw["V2D"].reshape(n)
+            sw, lw = raw["SWDOWN"].reshape(n), raw["LWDOWN"].reshape(n)
+            prcp = raw["RAINRATE"].reshape(n)
+        else:
+            raise ValueError("no forcing source configured (INDIR empty)")
+
+        # Q2D arrives as mixing ratio; driver converts to specific
+        # humidity (module_sf_noahmpdrv.F90:458)
+        q2 = q2d / (1.0 + q2d)
+        return Forcing(
+            sfctmp=jnp.asarray(t2d, f32), sfcprs=jnp.asarray(psfc, f32),
+            psfc=jnp.asarray(psfc, f32), uu=jnp.asarray(u2d, f32),
+            vv=jnp.asarray(v2d, f32), q2=jnp.asarray(q2, f32),
+            qc=jnp.zeros(n, f32), soldn=jnp.asarray(sw, f32),
+            lwdn=jnp.asarray(lw, f32), prcp=jnp.asarray(prcp, f32),
+            tbot=jnp.asarray(dom.tmn.reshape(n), f32),
+            pblh=jnp.zeros(n, f32),
+            cosz=jnp.asarray(cosz.reshape(n), f32),
+            lat=jnp.asarray(np.deg2rad(dom.xlat.reshape(n)), f32),
+            julian=jnp.full((n,), julian, f32),
+            yearlen=jnp.full((n,), yl, jnp.int32),
+            shdfac=jnp.full((n,), 0.8, f32),
+            shdmax=jnp.full((n,), 0.9, f32),
+            co2air=jnp.asarray(C.CO2_FRAC * psfc, f32),
+            o2air=jnp.asarray(C.O2_FRAC * psfc, f32),
+            foln=jnp.full((n,), C.FOLN_DEFAULT, f32),
+            ficeold=self._ficeold(),
+            smceq=jnp.asarray(self.smceq, f32))
+
+    def _ficeold(self):
+        """Snow-layer ice fraction from the previous step
+        (module_sf_noahmpdrv.F90:516-518)."""
+        s = self.state
+        tot = np.asarray(s.snice) + np.asarray(s.snliq)
+        return jnp.asarray(np.where(tot > 0, np.asarray(s.snice) /
+                                    np.maximum(tot, 1e-12), 0.0),
+                           jnp.float32)
+
+    # ------------------------------------------------------------------
+    def step(self, verbose=False):
+        """land_driver_exe (:309-595): one model timestep."""
+        t0 = time.perf_counter()
+        forcing = self.build_forcing()
+        if self.itime == 0:
+            self.state = first_step_guess(self.state, forcing)
+
+        t1 = time.perf_counter()
+        self.state, diag, self.accum = self._step_fn(
+            self.params, self.state, forcing, self.masks, self.accum)
+
+        # MMF groundwater every STEPWTD steps (:420-436)
+        if (self.cfg.opt_run == 5
+                and (self.itime + 1) % self.stepwtd == 0):
+            s = self.state
+            (wtd, smc, sh2o, smcwtd, deeprech, self.mmf) = self._wtd_fn(
+                self.params, self.mmf, self.masks.land,
+                jnp.asarray(self.smceq), s.zwt, s.smc, s.sh2o, s.smcwtd,
+                s.deeprech, s.rech)
+            self.state = dataclasses.replace(
+                s, zwt=wtd, smc=smc, sh2o=sh2o, smcwtd=smcwtd,
+                deeprech=deeprech)
+
+        jax.block_until_ready(self.state.tg)
+        t2 = time.perf_counter()
+
+        self.itime += 1
+        self.date = geth_newdate(self.date, int(self.cfg.dt))
+
+        # output / restart cadence (:440-592)
+        epoch = self.itime * int(self.cfg.dt)
+        if self.rs.output_timestep > 0 and epoch % self.rs.output_timestep == 0:
+            self.history.write(self.date, self.state, diag, self.accum)
+        if self.rs.restart_timestep > 0 and epoch % self.rs.restart_timestep == 0:
+            self.write_restart()
+
+        if verbose:
+            print(f"***DATE={self.date}  Timing: {t2 - t0:.3f}s "
+                  f"SFLX: {t2 - t1:.3f}s", flush=True)
+        return diag
+
+    def run(self, nsteps=None, verbose=False):
+        nsteps = nsteps if nsteps is not None else self.rs.ntime
+        last = None
+        for _ in range(nsteps):
+            last = self.step(verbose=verbose)
+        return last
+
+    def write_restart(self):
+        compact = self.date.replace("-", "").replace(":", "") \
+            .replace("_", "T")
+        path = Path(self.rs.resdir) / f"restart.{compact}.nc"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        ncio.write_restart(str(path), self.cfg, self.date, self.state,
+                           self.accum, self.domain.ny, self.domain.nx)
+        return str(path)

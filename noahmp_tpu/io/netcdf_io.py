@@ -1,0 +1,419 @@
+"""NetCDF I/O: domain/init/forcing readers, history & restart writers.
+
+Reference: driver/module_hrldas_netcdf_io.F90 — dim/header/const readers
+(:153-324), init readers (:688-808), forcing reader with two-slot time
+interpolation (:1140-1303, :1369-1403), history writer (:1536-2043),
+restart writer/reader (:2065-2874).
+
+Files are NetCDF classic (CDF-1) via scipy — readable by the Fortran
+NetCDF toolchain for cross-validation.  The reference funnels all I/O
+through an MPI io-rank with scatter/gather
+(module_hrldas_netcdf_io.F90:59-131); here every host reads/writes
+host-local shards of the flat column axis (SURVEY §5.8) — for
+single-host runs that is simply the whole domain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+
+import numpy as np
+from scipy.io import netcdf_file
+
+from .. import constants as C
+
+# history registry: name -> (source, field, units, description, kind)
+# source: "diag" (SflxDiag), "state" (ColumnState), "accum", "forc"
+# kind: "2d" | "soil" | "snow" | "sosn" | "int2d"
+HISTORY_FIELDS = [
+    ("FVEG", "diag", "fveg", "-", "Green Vegetation Fraction", "2d"),
+    ("FSA", "diag", "fsa", "W m{-2}", "Total absorbed SW radiation", "2d"),
+    ("FIRA", "diag", "fira", "W m{-2}", "Total net LW radiation to atmosphere", "2d"),
+    ("GRDFLX", "diag", "ssoil", "W m{-2}", "Heat flux into the soil", "2d"),
+    ("HFX", "diag", "fsh", "W m{-2}", "Total sensible heat to atmosphere", "2d"),
+    ("ECAN", "diag", "ecan", "kg m{-2} s{-1}", "Canopy water evaporation rate", "2d"),
+    ("ETRAN", "diag", "etran", "kg m{-2} s{-1}", "Transpiration rate", "2d"),
+    ("EDIR", "diag", "edir", "kg m{-2} s{-1}", "Direct from soil evaporation rate", "2d"),
+    ("ALBEDO", "diag", "albedo", "-", "Surface albedo", "2d"),
+    ("UGDRNOFF", "accum", "udrunoff", "mm", "Accumulated underground runoff", "2d"),
+    ("SFCRNOFF", "accum", "sfcrunoff", "mm", "Accumulated surface runoff", "2d"),
+    ("CANLIQ", "state", "canliq", "mm", "Canopy liquid water content", "2d"),
+    ("CANICE", "state", "canice", "mm", "Canopy ice water content", "2d"),
+    ("ZWT", "state", "zwt", "m", "Depth to water table", "2d"),
+    ("WA", "state", "wa", "kg m{-2}", "Water in aquifer", "2d"),
+    ("WT", "state", "wt", "kg m{-2}", "Water in aquifer and saturated soil", "2d"),
+    ("SAV", "diag", "sav", "W m{-2}", "Solar radiative heat flux absorbed by vegetation", "2d"),
+    ("SAG", "diag", "sag", "W m{-2}", "Solar radiative heat flux absorbed by ground", "2d"),
+    ("TR", "diag", "tr", "W m{-2}", "Transpiration heat", "2d"),
+    ("EVC", "diag", "evc", "W m{-2}", "Canopy evap heat", "2d"),
+    ("IRC", "diag", "irc", "W m{-2}", "Canopy net LW rad", "2d"),
+    ("SHC", "diag", "shc", "W m{-2}", "Canopy sensible heat", "2d"),
+    ("IRG", "diag", "irg", "W m{-2}", "Ground net LW rad", "2d"),
+    ("SHG", "diag", "shg", "W m{-2}", "Ground sensible heat", "2d"),
+    ("EVG", "diag", "evg", "W m{-2}", "Ground evap heat", "2d"),
+    ("GHV", "diag", "ghv", "W m{-2}", "Ground heat flux + to soil vegetated", "2d"),
+    ("IRB", "diag", "irb", "W m{-2}", "Net LW rad to atm bare", "2d"),
+    ("SHB", "diag", "shb", "W m{-2}", "Sensible heat to atm bare", "2d"),
+    ("EVB", "diag", "evb", "W m{-2}", "Evaporation heat to atm bare", "2d"),
+    ("GHB", "diag", "ghb", "W m{-2}", "Ground heat flux + to soil bare", "2d"),
+    ("TRAD", "diag", "trad", "K", "Surface radiative temperature", "2d"),
+    ("TG", "state", "tg", "K", "Ground temperature", "2d"),
+    ("TV", "state", "tv", "K", "Vegetation temperature", "2d"),
+    ("TAH", "state", "tah", "K", "Canopy air temperature", "2d"),
+    ("TGV", "diag", "tgv", "K", "Ground surface Temp vegetated", "2d"),
+    ("TGB", "diag", "tgb", "K", "Ground surface Temp bare", "2d"),
+    ("T2MV", "diag", "t2mv", "K", "2m Air Temp vegetated", "2d"),
+    ("T2MB", "diag", "t2mb", "K", "2m Air Temp bare", "2d"),
+    ("Q2MV", "diag", "q2v", "kg/kg", "2m mixing ratio vegetated", "2d"),
+    ("Q2MB", "diag", "q2b", "kg/kg", "2m mixing ratio bare", "2d"),
+    ("EAH", "state", "eah", "Pa", "Canopy air vapor pressure", "2d"),
+    ("FWET", "state", "fwet", "fraction", "Wetted or snowed fraction of canopy", "2d"),
+    ("SNICE", "state", "snice", "mm", "Snow layer ice", "snow"),
+    ("SNLIQ", "state", "snliq", "mm", "Snow layer liquid water", "snow"),
+    ("SOIL_M", "state", "smc", "m{3} m{-3}", "volumetric soil moisture", "soil"),
+    ("SOIL_W", "state", "sh2o", "m3 m-3", "liquid volumetric soil moisture", "soil"),
+    ("SNOWH", "state", "snowh", "m", "Snow depth", "2d"),
+    ("SNEQV", "state", "sneqv", "kg m{-2}", "Snow water equivalent", "2d"),
+    ("QSNOW", "diag", "qsnow", "mm s{-1}", "Snowfall rate", "2d"),
+    ("ISNOW", "state", "isnow", "count", "Number of snow layers", "int2d"),
+    ("FSNO", "diag", "fsno", "", "Snow-cover fraction on the ground", "2d"),
+    ("ACSNOW", "accum", "acsnow", "mm", "accumulated snow fall", "2d"),
+    ("ACSNOM", "accum", "acsnom", "mm", "accumulated melting water out of snow bottom", "2d"),
+    ("CM", "state", "cm", "", "Momentum drag coefficient", "2d"),
+    ("CH", "state", "ch", "", "Sensible heat exchange coefficient", "2d"),
+    ("CHV", "diag", "chv", "m s{-1}", "Exchange coefficient vegetated", "2d"),
+    ("CHB", "diag", "chb", "m s{-1}", "Exchange coefficient bare", "2d"),
+    ("CHLEAF", "diag", "chleaf", "m s{-1}", "Exchange coefficient leaf", "2d"),
+    ("CHUC", "diag", "chuc", "m s{-1}", "Exchange coefficient bare", "2d"),
+    ("CHV2", "diag", "chv2", "m s{-1}", "Exchange coefficient 2-meter vegetated", "2d"),
+    ("CHB2", "diag", "chb2", "m s{-1}", "Exchange coefficient 2-meter bare", "2d"),
+    ("LFMASS", "state", "lfmass", "g m{-2}", "Leaf mass", "2d"),
+    ("RTMASS", "state", "rtmass", "g m{-2}", "Mass of fine roots", "2d"),
+    ("STMASS", "state", "stmass", "g m{-2}", "Stem mass", "2d"),
+    ("WOOD", "state", "wood", "g m{-2}", "Mass of wood and woody roots", "2d"),
+    ("STBLCP", "state", "stblcp", "g m{-2}", "Stable carbon in deep soil", "2d"),
+    ("FASTCP", "state", "fastcp", "g m{-2}", "Short-lived carbon in shallow soil", "2d"),
+    ("NEE", "diag", "nee", "g m{-2} s{-1} CO2", "Net ecosystem exchange", "2d"),
+    ("GPP", "diag", "gpp", "g m{-2} s{-1} C", "Net instantaneous assimilation", "2d"),
+    ("NPP", "diag", "npp", "g m{-2} s{-1} C", "Net primary productivity", "2d"),
+    ("PSN", "diag", "psn", "umol CO2 m{-2} s{-1}", "Total photosynthesis", "2d"),
+    ("APAR", "diag", "apar", "W m{-2}", "Photosynthesis active energy by canopy", "2d"),
+    ("SOIL_T", "state_stc_soil", "stc", "K", "soil temperature", "soil"),
+    ("SNOW_T", "state_stc_snow", "stc", "K", "snow temperature", "snow"),
+    ("LAI", "state", "lai", "-", "Leaf area index", "2d"),
+    ("SAI", "state", "sai", "-", "Stem area index", "2d"),
+    ("SMCWTD", "state", "smcwtd", "m3 m-3", "soil moisture below soil column", "2d"),
+    ("RECH", "state", "rech", "m", "water table recharge", "2d"),
+]
+
+# restart fields: (ncname, state field, kind)
+RESTART_FIELDS = [
+    ("SOIL_T", "stc_soil", "soil"), ("SNOW_T", "stc_snow", "snow"),
+    ("SMC", "smc", "soil"), ("SH2O", "sh2o", "soil"),
+    ("ZSNSO", "zsnso", "sosn"), ("SNICE", "snice", "snow"),
+    ("SNLIQ", "snliq", "snow"), ("QSNOW", "qsnow", "2d"),
+    ("FWET", "fwet", "2d"), ("SNEQVO", "sneqvo", "2d"),
+    ("EAH", "eah", "2d"), ("TAH", "tah", "2d"),
+    ("ALBOLD", "albold", "2d"), ("CM", "cm", "2d"), ("CH", "ch", "2d"),
+    ("ISNOW", "isnow", "int2d"), ("CANLIQ", "canliq", "2d"),
+    ("CANICE", "canice", "2d"), ("SNEQV", "sneqv", "2d"),
+    ("SNOWH", "snowh", "2d"), ("TV", "tv", "2d"), ("TG", "tg", "2d"),
+    ("ZWT", "zwt", "2d"), ("WA", "wa", "2d"), ("WT", "wt", "2d"),
+    ("WSLAKE", "wslake", "2d"), ("LFMASS", "lfmass", "2d"),
+    ("RTMASS", "rtmass", "2d"), ("STMASS", "stmass", "2d"),
+    ("WOOD", "wood", "2d"), ("STBLCP", "stblcp", "2d"),
+    ("FASTCP", "fastcp", "2d"), ("LAI", "lai", "2d"),
+    ("SAI", "sai", "2d"), ("TAUSS", "tauss", "2d"),
+    ("QSFC", "qsfc", "2d"), ("SMCWTD", "smcwtd", "2d"),
+    ("DEEPRECH", "deeprech", "2d"), ("RECH", "rech", "2d"),
+]
+RESTART_ACCUM = [("SFCRUNOFF", "sfcrunoff"), ("UDRUNOFF", "udrunoff"),
+                 ("ACSNOW", "acsnow"), ("ACSNOM", "acsnom")]
+
+
+def _get_state_field(state, field, kind, nsnow):
+    import numpy as _np
+    if field == "stc" and kind == "soil":
+        return _np.asarray(state.stc)[:, nsnow:]
+    if field == "stc" and kind == "snow":
+        return _np.asarray(state.stc)[:, :nsnow]
+    return _np.asarray(getattr(state, field))
+
+
+@dataclasses.dataclass
+class Domain:
+    """Static domain info (hrldas_diminfo/hdrinfo/const_read
+    :153-324)."""
+    nx: int
+    ny: int
+    xlat: np.ndarray
+    xlong: np.ndarray
+    xland: np.ndarray
+    seaice: np.ndarray
+    hgt: np.ndarray
+    tmn: np.ndarray
+    vegtyp: np.ndarray
+    soiltyp: np.ndarray
+    dx: float = 1000.0
+    iswater: int = 16
+    isice: int = 24
+    isurban: int = 1
+
+
+def read_domain(path) -> Domain:
+    with netcdf_file(path, "r", mmap=False) as nc:
+        v = nc.variables
+
+        def rd(name, default=None):
+            if name in v:
+                a = v[name][:]
+                a = np.array(a[0] if a.ndim == 3 else a)
+                return a.astype(a.dtype.newbyteorder("="))
+            return default
+
+        xlat = rd("XLAT")
+        ny, nx = xlat.shape
+        ivg = rd("IVGTYP").astype(np.int32)
+        isl = rd("ISLTYP").astype(np.int32)
+        xland = rd("XLAND", np.ones((ny, nx), np.float32))
+        seaice = rd("SEAICE", np.zeros((ny, nx), np.float32))
+        hgt = rd("HGT", np.zeros((ny, nx), np.float32))
+        tmn = rd("TMN", np.full((ny, nx), 285.0, np.float32))
+        attrs = {k: getattr(nc, k, None) for k in
+                 ("DX", "ISWATER", "ISICE", "ISURBAN")}
+        # water/soil consistency fix (:321-322)
+        iswater = int(attrs.get("ISWATER") or 16)
+        isl = np.where((xland > 1.5) | (ivg == iswater), 14, isl)
+        return Domain(nx=nx, ny=ny, xlat=xlat, xlong=rd("XLONG"),
+                      xland=xland, seaice=seaice, hgt=hgt, tmn=tmn,
+                      vegtyp=ivg, soiltyp=isl,
+                      dx=float(attrs.get("DX") or 1000.0),
+                      iswater=iswater,
+                      isice=int(attrs.get("ISICE") or 24),
+                      isurban=int(attrs.get("ISURBAN") or 1))
+
+
+FORCING_VARS = ("T2D", "Q2D", "U2D", "V2D", "PSFC", "LWDOWN", "SWDOWN",
+                "RAINRATE")
+
+
+def read_forcing_file(path):
+    """Read one forcing file -> dict of (ny, nx) arrays."""
+    out = {}
+    with netcdf_file(path, "r", mmap=False) as nc:
+        for name in FORCING_VARS:
+            a = nc.variables[name][:]
+            out[name] = np.ascontiguousarray(
+                a[0] if a.ndim == 3 else a, dtype=np.float32)
+    return out
+
+
+class ForcingReader:
+    """Two-slot forcing buffer with linear time interpolation
+    (hrldas_input_read :1140-1303).
+
+    State variables are interpolated between the bracketing reads;
+    RAINRATE is held constant at the last read (:1369-1403).
+    """
+
+    def __init__(self, indir, input_timestep, filename_tpl="{date}.LDASIN_DOMAIN1"):
+        self.indir = Path(indir)
+        self.input_timestep = int(input_timestep)
+        self.tpl = filename_tpl
+        self.last = None       # (epoch_seconds, dict)
+        self.next = None
+
+    def _fname(self, date_str):
+        # HRLDAS forcing name: compact date (:321-326 builds
+        # input.<date>; common convention uses YYYYMMDDHH.LDASIN)
+        compact = date_str.replace("-", "").replace("_", "").replace(":", "")
+        return self.indir / self.tpl.format(date=compact[:10])
+
+    def read(self, date_str, epoch):
+        from ..driver.dates import geth_newdate
+        it = self.input_timestep
+        t0 = (epoch // it) * it
+        if self.last is None or self.last[0] != t0:
+            if self.next is not None and self.next[0] == t0:
+                self.last = self.next
+            else:
+                off = epoch - t0
+                d0 = geth_newdate(date_str, -off)
+                self.last = (t0, read_forcing_file(self._fname(d0)))
+            self.next = None
+        t1 = t0 + it
+        if self.next is None:
+            from ..driver.dates import geth_newdate
+            d1 = geth_newdate(date_str, t1 - epoch)
+            try:
+                self.next = (t1, read_forcing_file(self._fname(d1)))
+            except (FileNotFoundError, OSError):
+                self.next = (t1, self.last[1])  # hold last at end of run
+        w = (epoch - t0) / it
+        out = {}
+        for k in FORCING_VARS:
+            if k == "RAINRATE":
+                out[k] = self.last[1][k]
+            else:
+                out[k] = ((1.0 - w) * self.last[1][k]
+                          + w * self.next[1][k]).astype(np.float32)
+        return out
+
+
+def write_forcing_file(path, fields, ny, nx):
+    """Write one forcing file (test fixture generator)."""
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("Time", 1)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("west_east", nx)
+        for name in FORCING_VARS:
+            var = nc.createVariable(name, "f",
+                                    ("Time", "south_north", "west_east"))
+            var[0] = np.broadcast_to(np.asarray(fields[name], np.float32),
+                                     (ny, nx))
+
+
+class HistoryWriter:
+    """History file writer (hrldas_output_* :1536-2043).
+
+    One file per output time: ``output.<YYYYMMDDTHHMMSS>.nc`` with the
+    reference's variable names/units; water cells masked to -1e33
+    (:1970-1974).
+    """
+
+    def __init__(self, outdir, cfg, ny, nx, vegtyp, soiltyp, iswater=16):
+        self.outdir = Path(outdir)
+        self.outdir.mkdir(parents=True, exist_ok=True)
+        self.cfg = cfg
+        self.ny, self.nx = ny, nx
+        self.vegtyp = np.asarray(vegtyp).reshape(ny, nx)
+        self.soiltyp = np.asarray(soiltyp).reshape(ny, nx)
+        self.water = self.vegtyp == iswater
+
+    def write(self, date_str, state, diag, accum):
+        ny, nx = self.ny, self.nx
+        nsnow, nsoil = self.cfg.nsnow, self.cfg.nsoil
+        compact = date_str.replace("-", "").replace(":", "").replace("_", "T")
+        path = self.outdir / f"output.{compact}.nc"
+        with netcdf_file(path, "w") as nc:
+            nc.createDimension("Time", 1)
+            nc.createDimension("DateStrLen", 19)
+            nc.createDimension("west_east", nx)
+            nc.createDimension("south_north", ny)
+            nc.createDimension("soil_layers_stag", nsoil)
+            nc.createDimension("snow_layers", nsnow)
+            times = nc.createVariable("Times", "c", ("Time", "DateStrLen"))
+            times[0] = np.frombuffer(date_str[:19].encode(), dtype="S1")
+            iv = nc.createVariable("IVGTYP", "i",
+                                   ("Time", "south_north", "west_east"))
+            iv[0] = self.vegtyp
+            isl = nc.createVariable("ISLTYP", "i",
+                                    ("Time", "south_north", "west_east"))
+            isl[0] = self.soiltyp
+            for (name, src, field, units, desc, kind) in HISTORY_FIELDS:
+                if src == "diag":
+                    data = np.asarray(getattr(diag, field))
+                elif src == "accum":
+                    data = np.asarray(getattr(accum, field))
+                elif src.startswith("state_stc"):
+                    data = _get_state_field(
+                        None if False else state, "stc",
+                        "soil" if src.endswith("soil") else "snow", nsnow)
+                else:
+                    data = np.asarray(getattr(state, field))
+                if kind == "2d":
+                    var = nc.createVariable(
+                        name, "f", ("Time", "south_north", "west_east"))
+                    d2 = data.reshape(ny, nx).astype(np.float32)
+                    var[0] = np.where(self.water, C.MISSING_OUTPUT, d2)
+                elif kind == "int2d":
+                    var = nc.createVariable(
+                        name, "i", ("Time", "south_north", "west_east"))
+                    var[0] = data.reshape(ny, nx).astype(np.int32)
+                else:
+                    dim = ("soil_layers_stag" if kind == "soil"
+                           else "snow_layers")
+                    nl = nsoil if kind == "soil" else nsnow
+                    if kind == "sosn":
+                        continue  # history skips sosn fields
+                    var = nc.createVariable(
+                        name, "f", ("Time", dim, "south_north", "west_east"))
+                    d3 = data.reshape(ny, nx, nl).transpose(2, 0, 1)
+                    var[0] = np.where(self.water[None], C.MISSING_OUTPUT,
+                                      d3.astype(np.float32))
+                var.units = units.encode()
+                var.description = desc.encode()
+
+
+def write_restart(path, cfg, date_str, state, accum, ny, nx):
+    """Restart writer (hrldas_restart_* :2065-2524 + driver
+    :597-675)."""
+    nsnow, nsoil = cfg.nsnow, cfg.nsoil
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("Time", 1)
+        nc.createDimension("DateStrLen", 19)
+        nc.createDimension("west_east", nx)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("soil_layers_stag", nsoil)
+        nc.createDimension("snow_layers", nsnow)
+        nc.createDimension("sosn_layers", nsnow + nsoil)
+        times = nc.createVariable("Times", "c", ("Time", "DateStrLen"))
+        times[0] = np.frombuffer(date_str[:19].encode(), dtype="S1")
+        for (ncname, field, kind) in RESTART_FIELDS:
+            if field == "stc_soil":
+                data = np.asarray(state.stc)[:, nsnow:]
+            elif field == "stc_snow":
+                data = np.asarray(state.stc)[:, :nsnow]
+            else:
+                data = np.asarray(getattr(state, field))
+            if kind == "2d":
+                var = nc.createVariable(ncname, "f",
+                                        ("Time", "south_north", "west_east"))
+                var[0] = data.reshape(ny, nx).astype(np.float32)
+            elif kind == "int2d":
+                var = nc.createVariable(ncname, "i",
+                                        ("Time", "south_north", "west_east"))
+                var[0] = data.reshape(ny, nx).astype(np.int32)
+            else:
+                dim = {"soil": "soil_layers_stag", "snow": "snow_layers",
+                       "sosn": "sosn_layers"}[kind]
+                nl = {"soil": nsoil, "snow": nsnow,
+                      "sosn": nsnow + nsoil}[kind]
+                var = nc.createVariable(
+                    ncname, "f", ("Time", dim, "south_north", "west_east"))
+                var[0] = data.reshape(ny, nx, nl).transpose(2, 0, 1) \
+                    .astype(np.float32)
+        for (ncname, field) in RESTART_ACCUM:
+            var = nc.createVariable(ncname, "f",
+                                    ("Time", "south_north", "west_east"))
+            var[0] = np.asarray(getattr(accum, field)).reshape(ny, nx) \
+                .astype(np.float32)
+
+
+def read_restart(path, cfg, ny, nx):
+    """Restart reader (:2526-2874).  Returns (date_str, state_fields,
+    accum_fields) as plain numpy dicts keyed by framework field name."""
+    nsnow, nsoil = cfg.nsnow, cfg.nsoil
+    n = ny * nx
+    state_fields = {}
+    accum_fields = {}
+    with netcdf_file(path, "r", mmap=False) as nc:
+        date_str = b"".join(nc.variables["Times"][0]).decode()
+        for (ncname, field, kind) in RESTART_FIELDS:
+            a = np.array(nc.variables[ncname][0])
+            a = np.ascontiguousarray(
+                a, dtype=np.int32 if kind == "int2d" else np.float32)
+            if kind in ("2d", "int2d"):
+                state_fields[field] = a.reshape(n)
+            else:
+                state_fields[field] = a.transpose(1, 2, 0).reshape(n, -1)
+        for (ncname, field) in RESTART_ACCUM:
+            accum_fields[field] = np.ascontiguousarray(
+                nc.variables[ncname][0], dtype=np.float32).reshape(n)
+    # reassemble stc
+    stc = np.concatenate([state_fields.pop("stc_snow"),
+                          state_fields.pop("stc_soil")], axis=1)
+    state_fields["stc"] = stc
+    return date_str, state_fields, accum_fields

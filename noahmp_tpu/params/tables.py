@@ -40,7 +40,7 @@ NLUS = 50     # max land-use categories (:41)
 # ---------------------------------------------------------------------------
 
 _GROUP_RE = re.compile(r"^\s*&(\w+)")
-_ASSIGN_RE = re.compile(r"^\s*(\w+)\s*=\s*(.*)$", re.S)
+_ASSIGN_RE = re.compile(r"^\s*(\w+(?:\(\d+\))?)\s*=\s*(.*)$", re.S)
 
 
 def _strip_comment(line: str) -> str:

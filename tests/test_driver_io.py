@@ -1,0 +1,169 @@
+"""End-to-end driver + NetCDF I/O tests: namelist parsing, domain read,
+forcing time-interpolation, history output, and restart round-trip
+equality (SURVEY §4 items 5-6)."""
+
+import numpy as np
+import pytest
+from scipy.io import netcdf_file
+
+from noahmp_tpu.driver.namelist import read_namelist
+from noahmp_tpu.driver.dates import geth_newdate, calc_declin
+from noahmp_tpu.io import netcdf_io as ncio
+
+
+def write_domain_file(path, ny, nx):
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("Time", 1)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("west_east", nx)
+        nc.DX = 1000.0
+        nc.ISWATER = 16
+        nc.ISICE = 24
+        nc.ISURBAN = 1
+
+        def mk(name, data, typ="f"):
+            v = nc.createVariable(name, typ,
+                                  ("Time", "south_north", "west_east"))
+            v[0] = data
+
+        yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+        mk("XLAT", (35.0 + 0.01 * yy).astype(np.float32))
+        mk("XLONG", (-100.0 + 0.01 * xx).astype(np.float32))
+        veg = np.full((ny, nx), 7, np.int32)
+        veg[0, 0] = 16  # one water cell
+        mk("IVGTYP", veg, "i")
+        soil = np.full((ny, nx), 3, np.int32)
+        mk("ISLTYP", soil, "i")
+        mk("XLAND", np.ones((ny, nx), np.float32))
+        mk("SEAICE", np.zeros((ny, nx), np.float32))
+        mk("HGT", (200.0 - 1.0 * xx).astype(np.float32))
+        mk("TMN", np.full((ny, nx), 285.0, np.float32))
+
+
+def write_forcings(indir, start, n_files, input_timestep, ny, nx):
+    date = start
+    for i in range(n_files):
+        compact = date.replace("-", "").replace("_", "").replace(":", "")
+        f = {
+            "T2D": 280.0 + 5.0 * np.sin(i), "Q2D": 0.007,
+            "U2D": 2.0, "V2D": 1.0, "PSFC": 95000.0,
+            "LWDOWN": 330.0, "SWDOWN": max(0.0, 600.0 * np.sin(i / 2.0)),
+            "RAINRATE": 0.0002 if i == 1 else 0.0,
+        }
+        ncio.write_forcing_file(
+            f"{indir}/{compact[:10]}.LDASIN_DOMAIN1",
+            {k: np.full((ny, nx), v, np.float32) for k, v in f.items()},
+            ny, nx)
+        date = geth_newdate(date, input_timestep)
+
+
+@pytest.fixture
+def setup_run(tmp_path):
+    ny, nx = 6, 8
+    dom = tmp_path / "domain.nc"
+    write_domain_file(str(dom), ny, nx)
+    indir = tmp_path / "input"
+    indir.mkdir()
+    write_forcings(str(indir), "2017-05-01_00:00:00", 10, 10800, ny, nx)
+    nml = tmp_path / "noahmp.namelist"
+    nml.write_text(f"""
+&HRLDAS_NOAHMP
+ CONST_FILE = '{dom}'
+ INDIR = '{indir}'
+ OUTDIR = '{tmp_path}/output'
+ RESDIR = '{tmp_path}/restart'
+ START_YEAR = 2017
+ START_MONTH = 5
+ START_DAY = 1
+ START_HOUR = 0
+ START_MIN = 0
+ START_SEC = 0
+ KDAY = 1
+ DYNAMIC_VEG_OPTION = 3
+ CANOPY_STOMATAL_RESISTANCE_OPTION = 1
+ BTR_OPTION = 1
+ RUNOFF_OPTION = 3
+ SURFACE_DRAG_OPTION = 1
+ FROZEN_SOIL_OPTION = 1
+ SUPERCOOLED_WATER_OPTION = 1
+ RADIATIVE_TRANSFER_OPTION = 3
+ SNOW_ALBEDO_OPTION = 2
+ PRECIPITATION_PARTITION_OPTION = 1
+ TBOT_OPTION = 2
+ TEMP_TIME_SCHEME_OPTION = 1
+ INPUT_TIMESTEP = 10800
+ MODEL_TIMESTEP = 3600
+ OUTPUT_TIMESTEP = 10800
+ RESTART_TIMESTEP = 21600
+ NSOIL = 4
+ soil_layer_thickness(1) = 0.10
+ soil_layer_thickness(2) = 0.30
+ soil_layer_thickness(3) = 0.60
+ soil_layer_thickness(4) = 1.00
+ ZLVL = 30.0
+/
+""")
+    return tmp_path, nml, ny, nx
+
+
+def test_namelist_parse(setup_run):
+    tmp_path, nml, ny, nx = setup_run
+    cfg, rs = read_namelist(str(nml))
+    assert cfg.opt_run == 3 and cfg.dveg == 3
+    assert cfg.dzs == (0.1, 0.3, 0.6, 1.0)
+    assert rs.start_date == "2017-05-01_00:00:00"
+    assert rs.ntime == 24
+
+
+def test_calc_declin():
+    cosz, julian = calc_declin("2017-06-21_12:00:00",
+                               np.array([40.0]), np.array([0.0]))
+    # local solar noon at lon 0 on solstice: cosz = cos(lat - 23.44)
+    assert abs(julian - 171.5) < 0.01
+    assert 0.93 < float(cosz[0]) < 1.0
+    cosz_n, _ = calc_declin("2017-06-21_00:00:00",
+                            np.array([40.0]), np.array([0.0]))
+    assert float(cosz_n[0]) < 0.0
+
+
+def test_run_and_restart_roundtrip(setup_run):
+    from noahmp_tpu.driver.model import LandModel
+    tmp_path, nml, ny, nx = setup_run
+    cfg, rs = read_namelist(str(nml))
+
+    m = LandModel.from_namelist(cfg, rs)
+    m.run(nsteps=6)
+
+    # history file written at hour 3 and 6
+    outs = sorted((tmp_path / "output").glob("output.*.nc"))
+    assert len(outs) == 2
+    with netcdf_file(str(outs[-1]), "r", mmap=False) as nc:
+        tg = np.array(nc.variables["TG"][0])
+        assert tg.shape == (ny, nx)
+        # water cell masked
+        assert tg[0, 0] < -1e30
+        assert np.isfinite(tg[1:, 1:]).all() and (tg[1:, 1:] > 200).all()
+        assert b"".join(nc.variables["Times"][0]).decode() \
+            == "2017-05-01_06:00:00"
+
+    rsts = sorted((tmp_path / "restart").glob("restart.*.nc"))
+    assert len(rsts) == 1  # hour 6
+
+    # continue 2 more steps from the live model
+    m.run(nsteps=2)
+    tg_live = np.asarray(m.state.tg).copy()
+    smc_live = np.asarray(m.state.smc).copy()
+
+    # restart from the hour-6 file and run the same 2 steps
+    rs2 = read_namelist(str(nml))[1]
+    rs2.from_restart = True
+    rs2.restart_file = rsts[0].name
+    m2 = LandModel.from_namelist(cfg, rs2)
+    m2.itime = 6
+    m2.run(nsteps=2)
+
+    land = ~(np.asarray(m.masks.land) == False)  # noqa: E712
+    np.testing.assert_allclose(np.asarray(m2.state.tg)[land],
+                               tg_live[land], rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(m2.state.smc)[land],
+                               smc_live[land], rtol=0, atol=1e-5)
