@@ -79,8 +79,13 @@ def grid_step(cfg, params, state: ColumnState, forcing: Forcing,
     step = jax.vmap(lambda p, s, f: noahmp_sflx(cfg, p, s, f))
     s_new, d = step(params, state, forcing)
 
+    # run the glacier solver only if this domain has land-ice cells
+    # (lax.cond on a scalar — skipped entirely when no glaciers)
     gstep = jax.vmap(lambda p, s, f: noahmp_glacier(cfg, p, s, f))
-    s_gl, d_gl = gstep(params, state, forcing)
+    s_gl, d_gl = jax.lax.cond(
+        jnp.any(masks.glacier),
+        lambda _: gstep(params, state, forcing),
+        lambda _: (state, d), None)
 
     def pick(land_v, glacier_v, old_v):
         g = masks.glacier

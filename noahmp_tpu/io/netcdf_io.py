@@ -215,21 +215,42 @@ class ForcingReader:
     (hrldas_input_read :1140-1303).
 
     State variables are interpolated between the bracketing reads;
-    RAINRATE is held constant at the last read (:1369-1403).
+    RAINRATE is held constant at the last read (:1369-1403).  File
+    decode goes through the native fastnc codec with a background
+    prefetch thread (the next file is read while the device integrates
+    the current interval); scipy is the fallback.
     """
 
     def __init__(self, indir, input_timestep, filename_tpl="{date}.LDASIN_DOMAIN1"):
         self.indir = Path(indir)
         self.input_timestep = int(input_timestep)
         self.tpl = filename_tpl
-        self.last = None       # (epoch_seconds, dict)
+        self.last = None       # (epoch_seconds, dict of flat arrays)
         self.next = None
+        self._prefetch = None  # lazily sized ForcingPrefetcher
+        self._shape = None
 
     def _fname(self, date_str):
         # HRLDAS forcing name: compact date (:321-326 builds
         # input.<date>; common convention uses YYYYMMDDHH.LDASIN)
         compact = date_str.replace("-", "").replace("_", "").replace(":", "")
         return self.indir / self.tpl.format(date=compact[:10])
+
+    def _read_file(self, path):
+        from .fastnc import ForcingPrefetcher, var_shape, available
+        if self._prefetch is None:
+            if available():
+                shape = var_shape(path, "T2D")
+                self._shape = tuple(s for s in shape if s != 1)
+                n = int(np.prod(self._shape))
+            else:
+                raw = read_forcing_file(path)
+                self._shape = raw["T2D"].shape
+                n = int(np.prod(self._shape))
+            self._prefetch = ForcingPrefetcher(list(FORCING_VARS), n)
+        flat = self._prefetch.get(path)
+        return {k: np.asarray(v).reshape(self._shape)
+                for k, v in flat.items()}
 
     def read(self, date_str, epoch):
         from ..driver.dates import geth_newdate
@@ -241,16 +262,20 @@ class ForcingReader:
             else:
                 off = epoch - t0
                 d0 = geth_newdate(date_str, -off)
-                self.last = (t0, read_forcing_file(self._fname(d0)))
+                self.last = (t0, self._read_file(self._fname(d0)))
             self.next = None
         t1 = t0 + it
         if self.next is None:
-            from ..driver.dates import geth_newdate
             d1 = geth_newdate(date_str, t1 - epoch)
             try:
-                self.next = (t1, read_forcing_file(self._fname(d1)))
-            except (FileNotFoundError, OSError):
+                self.next = (t1, self._read_file(self._fname(d1)))
+            except (FileNotFoundError, OSError, IOError):
                 self.next = (t1, self.last[1])  # hold last at end of run
+            # prefetch the file after next in the background
+            d2 = geth_newdate(date_str, t1 + it - epoch)
+            p2 = self._fname(d2)
+            if self._prefetch is not None and p2.exists():
+                self._prefetch.start(p2)
         w = (epoch - t0) / it
         out = {}
         for k in FORCING_VARS:

@@ -118,7 +118,7 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
            eair, htop, tbot, zsnso, dzsnso, elai, esai, fwet, foln,
            fveg, qsnow, canliq, canice, tv, tg, stc, snowh, eah, tah,
            sneqvo, sneqv, sh2o, smc, snice, snliq, albold, cm, ch, q2,
-           tauss, qsfc, psfc) -> EnergyOut:
+           tauss, qsfc, psfc, pblh=None) -> EnergyOut:
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
     zsoil = jnp.asarray(cfg.zsoil, dtype=tg.dtype)
 
@@ -216,12 +216,14 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
                    z0mg, emv, emg, canliq, canice, stc, tp.df, rsurf,
                    latheav, latheag, rad.parsun, rad.parsha, igs, foln,
                    co2air, o2air, btran, sfcprs, rhsur, eah, tah, tv,
-                   tg, cm, ch, psfc)
+                   tg, cm, ch, psfc,
+                   pblh if pblh is not None else jnp.zeros_like(tg))
 
     bf = bare_flux(cfg, p, isnow, rad.sag, lwdn, ur, uu, vv, sfctmp,
                    thair, qair, eair, rhoair, snowh, dzsnso, zlvl,
                    zpdg, z0mg, emg, stc, tp.df, rsurf, latheag, gammag,
-                   rhsur, tg, cm, ch, qsfc, psfc, sfcprs)
+                   rhsur, tg, cm, ch, qsfc, psfc, sfcprs,
+                   pblh if pblh is not None else jnp.zeros_like(tg))
 
     # blend (:1747-1785)
     def blend(v, b_):

@@ -22,6 +22,7 @@ from .. import constants as C
 from .common import MPE, tdc, esat
 from .sfc_exchange import sfcdif1, sfcdif1_init, Sfcdif1State, ragrb
 from .sfcdif2 import sfcdif2
+from .sfcdif34 import sfcdif3, sfcdif4
 from .stomata import stomata, canres
 
 NITERC = 20   # canopy iterations (:3234)
@@ -72,7 +73,8 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
               laisun, laisha, dzsnso, htop, zlvl, zpd, z0m, fveg, z0mg,
               emv, emg, canliq, canice, stc, df, rsurf, latheav,
               latheag, parsun, parsha, igs, foln, co2air, o2air, btran,
-              sfcprs, rhsur, eah, tah, tv, tg, cm, ch, psfc) -> VegeFluxOut:
+              sfcprs, rhsur, eah, tah, tv, tg, cm, ch, psfc,
+              pblh) -> VegeFluxOut:
     """Canopy+under-canopy energy balance (VEGE_FLUX :3018-3589)."""
     nsnow = cfg.nsnow
     dtype = tv.dtype
@@ -101,7 +103,7 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
 
     z = jnp.zeros((), dtype)
 
-    def loop1_body(it, carry):
+    def loop1_body(it, carry, with_stomata=False):
         (tv_c, tah_c, eah_c, cm_c, ch_c, qsfc_c, sf, mozg, fhg, h, hg,
          qfx, rssun, rssha, psnsun, psnsha, irc, shc, evc, tr, dtv,
          rahc, rahg, rawg, rb, done, liter) = carry
@@ -124,6 +126,26 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
             ch_n = akhs / ur
             sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, wstar2_n, sf.fh,
                                 sf.fm2, sf.fh2, fv_n)
+        elif cfg.opt_sfc == 3:
+            # sf.fv carries USTAR; akms/akhs = CM*UR / CH*UR priors
+            akms, akhs, chs2, cqs2, rlmo_n, fv_n = sfcdif3(
+                tah_c, qsfc_c, psfc, pblh, z0m, z0mg, p.is_urban, uc,
+                thair, qair, zlvl, sf.fv, cm_c * ur, ch_c * ur)
+            cm_n = akms / ur
+            ch_n = akhs / ur
+            ch2v = chs2 / ur
+            sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, sf.fm, ch2v,
+                                sf.fm2, sf.fh2, fv_n)
+        elif cfg.opt_sfc == 4:
+            # sf.moz carries RMOL (1/L); sf.fv USTAR
+            cm4, chs, chs2, cqs2, rmol_n, fv_n, _u10, _v10 = sfcdif4(
+                uu, vv, sfctmp, sfcprs, psfc, pblh, 1000.0, z0m, tah_c,
+                qair, zlvl, qsfc_c, h, qfx, sf.moz, sf.fv)
+            cm_n = cm4 / ur
+            ch_n = chs / ur
+            ch2v = chs2 / ur
+            sf_n = Sfcdif1State(rmol_n, sf.mozsgn, sf.fm, ch2v,
+                                sf.fm2, sf.fh2, fv_n)
         else:
             raise NotImplementedError(f"opt_sfc={cfg.opt_sfc}")
 
@@ -135,22 +157,26 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
 
         estv, destv = _estsat(tv_c)
 
-        # stomatal resistance on first iteration only (:3400-3420)
-        if cfg.opt_crs == 1:
-            rssun_1, psnsun_1 = stomata(p, parsun, foln, tv_c, estv,
-                                        eah_c, sfctmp, sfcprs, o2air,
-                                        co2air, igs, btran, rg.rb)
-            rssha_1, psnsha_1 = stomata(p, parsha, foln, tv_c, estv,
-                                        eah_c, sfctmp, sfcprs, o2air,
-                                        co2air, igs, btran, rg.rb)
+        # stomatal resistance on the first iteration only (:3400-3420);
+        # iteration 0 is peeled out of the fori_loop below so the CI
+        # bisection compiles exactly once (a lax.cond here measured 2.6x
+        # slower on TPU — conds in hot loops break fusion).
+        if with_stomata:
+            if cfg.opt_crs == 1:
+                rssun_n, psnsun_n = stomata(p, parsun, foln, tv_c, estv,
+                                            eah_c, sfctmp, sfcprs, o2air,
+                                            co2air, igs, btran, rg.rb)
+                rssha_n, psnsha_n = stomata(p, parsha, foln, tv_c, estv,
+                                            eah_c, sfctmp, sfcprs, o2air,
+                                            co2air, igs, btran, rg.rb)
+            else:
+                rssun_n, psnsun_n = canres(p, parsun, tv_c, btran, eah_c,
+                                           sfcprs)
+                rssha_n, psnsha_n = canres(p, parsha, tv_c, btran, eah_c,
+                                           sfcprs)
         else:
-            rssun_1, psnsun_1 = canres(p, parsun, tv_c, btran, eah_c, sfcprs)
-            rssha_1, psnsha_1 = canres(p, parsha, tv_c, btran, eah_c, sfcprs)
-        first = it == 0
-        rssun_n = jnp.where(first, rssun_1, rssun)
-        rssha_n = jnp.where(first, rssha_1, rssha)
-        psnsun_n = jnp.where(first, psnsun_1, psnsun)
-        psnsha_n = jnp.where(first, psnsha_1, psnsha)
+            rssun_n, rssha_n = rssun, rssha
+            psnsun_n, psnsha_n = psnsun, psnsha
 
         # linearized canopy air T / e elimination (:3424-3447)
         cah = 1.0 / rahc_n
@@ -225,9 +251,10 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
             jnp.ones((), dtype), jnp.ones((), dtype), jnp.ones((), dtype),
             jnp.ones((), dtype),
             jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+    carry1 = loop1_body(0, init, with_stomata=True)
     (tv, tah, eah, cm, ch, qsfc, sf, mozg, fhg, h, hg, qfx, rssun,
      rssha, psnsun, psnsha, irc, shc, evc, tr, dtv, rahc, rahg, rawg,
-     rb, done, liter) = jax.lax.fori_loop(0, NITERC, loop1_body, init)
+     rb, done, liter) = jax.lax.fori_loop(1, NITERC, loop1_body, carry1)
 
     # under-canopy ground Newton (:3493-3528)
     air_g = -emg * (1.0 - emv) * lwdn - emg * emv * C.SB * tv ** 4
@@ -272,16 +299,30 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
     tauxv = -rhoair * cm * ur * uu
     tauyv = -rhoair * cm * ur * vv
 
-    # 2m diagnostics (:3557-3582), OPT_SFC = 1/2 path
+    # 2m diagnostics (:3557-3582)
     z0h = z0m
-    cah2 = sf.fv * C.VKC / (jnp.log((2.0 + z0h) / z0h) - sf.fh2)
-    cq2v = cah2
-    low = cah2 < 1.0e-5
-    t2mv = jnp.where(low, tah,
-                     tah - (shg + shc / fveg_s) / (rhoair * C.CPAIR) / jnp.maximum(cah2, 1e-10))
-    q2v = jnp.where(low, qsfc,
-                    qsfc - ((evc + tr) / fveg_s + evg) / (latheav * rhoair)
-                    / jnp.maximum(cq2v, 1e-10))
+    if cfg.opt_sfc in (1, 2):
+        cah2 = sf.fv * C.VKC / (jnp.log((2.0 + z0h) / z0h) - sf.fh2)
+        cq2v = cah2
+        low = cah2 < 1.0e-5
+        t2mv = jnp.where(low, tah,
+                         tah - (shg + shc / fveg_s) / (rhoair * C.CPAIR)
+                         / jnp.maximum(cah2, 1e-10))
+        q2v = jnp.where(low, qsfc,
+                        qsfc - ((evc + tr) / fveg_s + evg)
+                        / (latheav * rhoair) / jnp.maximum(cq2v, 1e-10))
+    else:
+        # MYJ/YSU path (:3567-3580): CAH2 from the carried 2m exchange
+        ch2v = sf.fh
+        cah2 = 1.0 / jnp.maximum(1.0, 1.0 / jnp.maximum(ch2v * ur, 1e-10))
+        low = cah2 < 1.0e-5
+        t2mv = jnp.where(low, tah,
+                         tah - (shg + shc) / (rhoair * C.CPAIR)
+                         / jnp.maximum(cah2, 1e-10))
+        q2v = jnp.where(low,
+                        eah * 0.622 / (sfcprs - 0.378 * eah),
+                        eah * 0.622 / (sfcprs - 0.378 * eah)
+                        - qfx / (rhoair * jnp.maximum(cah2, 1e-10)))
 
     chv = 1.0 / rahc   # CH = CAH (:3585)
     chleaf = 2.0 * vaie / rb
@@ -312,7 +353,7 @@ class BareFluxOut(NamedTuple):
 def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
               eair, rhoair, snowh, dzsnso, zlvl, zpd, z0m, emg, stc, df,
               rsurf, lathea, gamma, rhsur, tgb, cm, ch, qsfc, psfc,
-              sfcprs) -> BareFluxOut:
+              sfcprs, pblh) -> BareFluxOut:
     """Bare-ground energy balance (BARE_FLUX :3591-3958)."""
     nsnow = cfg.nsnow
     dtype = tgb.dtype
@@ -345,6 +386,28 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
             ch_n = jnp.where(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
             sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, wstar2_n, sf.fh,
                                 sf.fm2, sf.fh2, fv_n)
+        elif cfg.opt_sfc == 3:
+            akms, akhs, chs2, cqs2, rlmo_n, fv_n = sfcdif3(
+                tgb_c, qsfc_c, psfc, pblh, z0m, z0m, p.is_urban, ur,
+                thair, qair, zlvl, sf.fv, cm_c * ur, ch_c * ur)
+            cm_n = akms / ur
+            ch_n = akhs / ur
+            snow_cap = snowh > 0.0
+            cm_n = jnp.where(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
+            ch_n = jnp.where(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
+            sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, sf.fm,
+                                chs2 / ur, sf.fm2, sf.fh2, fv_n)
+        elif cfg.opt_sfc == 4:
+            cm4, chs, chs2, cqs2, rmol_n, fv_n, _u10, _v10 = sfcdif4(
+                uu, vv, sfctmp, sfcprs, psfc, pblh, 1000.0, z0m, tgb_c,
+                qair, zlvl, qsfc_c, h, qfx, sf.moz, sf.fv)
+            cm_n = cm4 / ur
+            ch_n = chs / ur
+            snow_cap = snowh > 0.0
+            cm_n = jnp.where(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
+            ch_n = jnp.where(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
+            sf_n = Sfcdif1State(rmol_n, sf.mozsgn, sf.fm,
+                                chs2 / ur, sf.fm2, sf.fh2, fv_n)
         else:
             raise NotImplementedError(f"opt_sfc={cfg.opt_sfc}")
 
@@ -400,17 +463,27 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
     tauxb = -rhoair * cm * ur * uu
     tauyb = -rhoair * cm * ur * vv
 
-    # 2m diagnostics (:3934-3949)
+    # 2m diagnostics (:3934-3960)
     z0h = z0m
-    ehb2 = sf.fv * C.VKC / (jnp.log((2.0 + z0h) / z0h) - sf.fh2)
-    cq2b = ehb2
-    low = ehb2 < 1.0e-5
-    t2mb = jnp.where(low, tgb,
-                     tgb - shb / (rhoair * C.CPAIR) / jnp.maximum(ehb2, 1e-10))
-    q2b = jnp.where(low, qsfc,
-                    qsfc - evb / (lathea * rhoair)
-                    * (1.0 / jnp.maximum(cq2b, 1e-10) + rsurf))
-    q2b = jnp.where(p.is_urban, qsfc, q2b)
+    if cfg.opt_sfc in (1, 2):
+        ehb2 = sf.fv * C.VKC / (jnp.log((2.0 + z0h) / z0h) - sf.fh2)
+        cq2b = ehb2
+        low = ehb2 < 1.0e-5
+        t2mb = jnp.where(low, tgb,
+                         tgb - shb / (rhoair * C.CPAIR)
+                         / jnp.maximum(ehb2, 1e-10))
+        q2b = jnp.where(low, qsfc,
+                        qsfc - evb / (lathea * rhoair)
+                        * (1.0 / jnp.maximum(cq2b, 1e-10) + rsurf))
+        q2b = jnp.where(p.is_urban, qsfc, q2b)
+    else:
+        ch2b = sf.fh
+        ehb2 = 1.0 / jnp.maximum(1.0, 1.0 / jnp.maximum(ch2b * ur, 1e-10))
+        low = ehb2 < 1.0e-5
+        t2mb = jnp.where(low, tgb,
+                         tgb - shb / (rhoair * C.CPAIR * jnp.maximum(ehb2, 1e-10)))
+        q2b = jnp.where(low, qsfc,
+                        qsfc - qfx / (rhoair * jnp.maximum(ehb2, 1e-10)))
 
     chb = 1.0 / jnp.maximum(1.0, 1.0 / (ch * ur))  # CH = EHB = 1/RAHB
 

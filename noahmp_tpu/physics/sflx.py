@@ -135,7 +135,8 @@ def noahmp_sflx(cfg, p, s: ColumnState, f: Forcing, ist=1, ice=0):
                 ph.esai, s.fwet, f.foln, fveg, s.qsnow, s.canliq,
                 s.canice, s.tv, s.tg, s.stc, s.snowh, s.eah, s.tah,
                 s.sneqvo, s.sneqv, s.sh2o, s.smc, s.snice, s.snliq,
-                s.albold, s.cm, s.ch, f.q2, s.tauss, s.qsfc, f.psfc)
+                s.albold, s.cm, s.ch, f.q2, s.tauss, s.qsfc, f.psfc,
+                pblh=f.pblh)
 
     sice = jnp.maximum(0.0, en.smc - en.sh2o)
     sneqvo = en.sneqv

@@ -160,3 +160,13 @@ def test_vmap_over_columns():
                                    rtol=2e-6)
         np.testing.assert_allclose(np.asarray(dv.fsh)[i], np.asarray(di.fsh),
                                    rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("opt_sfc", [3, 4])
+def test_myj_ysu_sfc_schemes(opt_sfc):
+    """MYJ (SFCDIF3 :4425) and YSU (SFCDIF4 :4882) exchange schemes."""
+    cfg = NoahMPConfig(opt_sfc=opt_sfc)
+    p = column_params()
+    s = initial_column_state(cfg, tsk=285.0, smc0=0.3)
+    _, worst = integrate(cfg, p, s, 48, lambda h: make_forcing(h))
+    check(worst)

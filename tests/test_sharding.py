@@ -1,0 +1,70 @@
+"""Distributed-execution tests (SURVEY §4 item 4 + halo correctness
+item 6): single-device vs multi-device results must match, including
+the lateral-flow stencil across shard boundaries — the test the
+reference never had (its MPI version has a tile-seam bug, SURVEY §2.3).
+
+Runs on the 8-device virtual CPU mesh from conftest.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import pytest
+
+from noahmp_tpu.config import NoahMPConfig
+from noahmp_tpu.driver.synthetic import synthetic_grid, synthetic_forcing
+from noahmp_tpu.grid.driver import grid_step
+from noahmp_tpu.grid.sharding import make_mesh, shard_columns
+from noahmp_tpu.grid.lateral import lateralflow
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_column_sharding_equivalence():
+    n = 128
+    cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
+    forcing = synthetic_forcing(n, hour=12.0)
+
+    step = jax.jit(lambda p, s, f, m, a: grid_step(cfg, p, s, f, m, a))
+    s1, d1, a1 = step(params, state, forcing, masks, accum)
+
+    mesh = make_mesh(jax.devices()[:8])
+    sh = lambda t: shard_columns(t, mesh)
+    s8, d8, a8 = step(sh(params), sh(state), sh(forcing), sh(masks),
+                      sh(accum))
+
+    np.testing.assert_allclose(np.asarray(s8.tg), np.asarray(s1.tg),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s8.smc), np.asarray(s1.smc),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d8.fsh), np.asarray(d1.fsh),
+                               rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_lateralflow_halo_across_shards():
+    """The D8 stencil sharded over rows must equal the unsharded
+    result — XLA inserts the halo exchange the reference's MPI path
+    lacked."""
+    ny, nx = 32, 16
+    rng = np.random.RandomState(0)
+    wtd = (-3.0 + rng.rand(ny, nx)).astype(np.float32)
+    klat = np.full((ny, nx), 2.0e-5, np.float32)
+    fdepth = np.full((ny, nx), 100.0, np.float32)
+    topo = (100.0 + 10.0 * rng.rand(ny, nx)).astype(np.float32)
+    lm = np.ones((ny, nx), np.int32)
+    area = np.full((ny, nx), 1.0e6, np.float32)
+
+    f = jax.jit(lambda w, k, fd, t, l, a:
+                lateralflow(w, k, fd, t, l, a, 1800.0))
+    q1 = np.asarray(f(wtd, klat, fdepth, topo, lm, area))
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    row_sh = NamedSharding(mesh, P("y"))
+    put = lambda x: jax.device_put(x, row_sh)
+    q8 = np.asarray(f(put(wtd), put(klat), put(fdepth), put(topo),
+                      put(lm), put(area)))
+
+    np.testing.assert_allclose(q8, q1, rtol=1e-6, atol=1e-12)
+    assert np.abs(q1).max() > 0.0, "stencil produced no flow"
