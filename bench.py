@@ -31,13 +31,16 @@ def main():
     # distinct forcing per step (avoids constant folding); compile once
     forcings = [synthetic_forcing(n, hour=float(h)) for h in range(6)]
     s, d, a = step(params, state, forcings[0], masks, accum)
-    jax.block_until_ready(s)
+    # NOTE: through the remote-TPU tunnel, block_until_ready alone can
+    # return before the work is flushed; a scalar readback is the only
+    # trustworthy fence, so the timed region ends with one.
+    float(s.tg.sum())
 
     nsteps = 20
     t0 = time.perf_counter()
     for i in range(nsteps):
         s, d, a = step(params, s, forcings[i % len(forcings)], masks, a)
-    jax.block_until_ready(s)
+    float(s.tg.sum())
     dt = time.perf_counter() - t0
 
     col_steps_per_s = n * nsteps / dt

@@ -11,7 +11,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .. import constants as C
-from .common import MPE
+from .common import MPE, take1, sel
 
 
 class AtmOut(NamedTuple):
@@ -40,7 +40,7 @@ def atm(sfcprs, sfctmp, q2, prcp, soldn, cosz) -> AtmOut:
     rhoair = (sfcprs - 0.378 * eair) / (C.RAIR * sfctmp)
     qprecc = 0.10 * prcp
     qprecl = 0.90 * prcp
-    swdown = jnp.where(cosz <= 0.0, 0.0, soldn)
+    swdown = sel(cosz <= 0.0, 0.0, soldn)
     solad = jnp.stack([swdown * 0.7 * 0.5, swdown * 0.7 * 0.5])
     solai = jnp.stack([swdown * 0.3 * 0.5, swdown * 0.3 * 0.5])
     return AtmOut(thair, qair, eair, rhoair, qprecc, qprecl,
@@ -68,26 +68,27 @@ def phenology(cfg, p, snowh, tv, lat, yearlen, julian, lai, sai,
     """
     yearlen_f = yearlen.astype(lai.dtype) if hasattr(yearlen, "astype") else jnp.asarray(yearlen, lai.dtype)
     if cfg.dveg in (1, 3, 4):
-        day = jnp.where(lat >= 0.0, julian,
+        day = sel(lat >= 0.0, julian,
                         jnp.mod(julian + 0.5 * yearlen_f, yearlen_f))
         t = 12.0 * day / yearlen_f
         it1 = jnp.floor(t + 0.5).astype(jnp.int32)  # Fortran INT(T+0.5)
-        it2 = it1 + 1
         wt1 = (it1.astype(t.dtype) + 0.5) - t
         wt2 = 1.0 - wt1
-        it1 = jnp.where(it1 < 1, 12, it1)
-        it2 = jnp.where(it2 > 12, 1, it2)
+        # Month wrap (IT1<1 -> 12, IT2>12 -> 1, :1060-1061) done with mod
+        # arithmetic — an int select here trips a Mosaic relayout bug.
+        idx1 = jnp.mod(it1 + 11, 12)   # 0-based month of IT1
+        idx2 = jnp.mod(it1, 12)        # 0-based month of IT2=IT1+1
         # p.laim/p.saim are (12,) per-column monthly tables (1-based months)
-        lai = wt1 * p.laim[it1 - 1] + wt2 * p.laim[it2 - 1]
-        sai = wt1 * p.saim[it1 - 1] + wt2 * p.saim[it2 - 1]
+        lai = wt1 * take1(p.laim, idx1) + wt2 * take1(p.laim, idx2)
+        sai = wt1 * take1(p.saim, idx1) + wt2 * take1(p.saim, idx2)
 
-    sai = jnp.where(sai < 0.01, 0.0, sai)
-    lai = jnp.where((lai < 0.05) | (sai == 0.0), 0.0, lai)
+    sai = sel(sai < 0.01, 0.0, sai)
+    lai = sel((lai < 0.05) | (sai == 0.0), 0.0, lai)
 
     is_nonveg = (veg_flags["is_water"] | veg_flags["is_barren"]
                  | veg_flags["is_snow"] | veg_flags["is_urban"])
-    lai = jnp.where(is_nonveg, 0.0, lai)
-    sai = jnp.where(is_nonveg, 0.0, sai)
+    lai = sel(is_nonveg, 0.0, lai)
+    sai = sel(is_nonveg, 0.0, sai)
 
     # burying by snow (:1083-1091)
     hvb, hvt = p.hvb, p.hvt
@@ -96,14 +97,14 @@ def phenology(cfg, p, snowh, tv, lat, yearlen, julian, lai, sai,
     # short vegetation special case
     snowhc = hvt * jnp.exp(-snowh / 0.2)
     fb_short = jnp.minimum(snowh, snowhc) / jnp.maximum(snowhc, 1.0e-6)
-    fb = jnp.where((hvt > 0.0) & (hvt <= 1.0), fb_short, fb)
+    fb = sel((hvt > 0.0) & (hvt <= 1.0), fb_short, fb)
 
     elai = lai * (1.0 - fb)
     esai = sai * (1.0 - fb)
-    esai = jnp.where(esai < 0.01, 0.0, esai)
-    elai = jnp.where((elai < 0.05) | (esai == 0.0), 0.0, elai)
+    esai = sel(esai < 0.01, 0.0, esai)
+    elai = sel((elai < 0.05) | (esai == 0.0), 0.0, elai)
 
-    igs = jnp.where(tv > p.tmin, 1.0, 0.0)
+    igs = sel(tv > p.tmin, 1.0, 0.0)
     htop = hvt
     return PhenologyOut(lai, sai, htop, elai, esai, igs)
 
@@ -120,6 +121,6 @@ def compute_fveg(cfg, shdfac, shdmax, lai, sai, elai, esai, is_urban,
         fveg = jnp.maximum(shdmax, 0.01)
     else:
         raise ValueError(f"unknown dveg {cfg.dveg}")
-    fveg = jnp.where(is_urban | is_barren, 0.0, fveg)
-    fveg = jnp.where(elai + esai == 0.0, 0.0, fveg)
+    fveg = sel(is_urban | is_barren, 0.0, fveg)
+    fveg = sel(elai + esai == 0.0, 0.0, fveg)
     return fveg

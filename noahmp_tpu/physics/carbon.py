@@ -12,6 +12,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from .common import sel
+
 
 class CarbonOut(NamedTuple):
     lfmass: jnp.ndarray
@@ -57,8 +59,8 @@ def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
     lapm = p.sla / 1000.0
     wstres = 1.0 - btran
     root_mask = jnp.arange(nsoil) < p.nroot
-    znroot = jnp.sum(jnp.where(root_mask, dzs, 0.0))
-    wroot = jnp.sum(jnp.where(root_mask,
+    znroot = jnp.sum(sel(root_mask, dzs, 0.0))
+    wroot = jnp.sum(sel(root_mask,
                               smc / p.smcmax * dzs / jnp.maximum(znroot, 1e-6),
                               0.0))
 
@@ -73,7 +75,7 @@ def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
     # XLAI enters CO2FLUX from the previous LFMASS (:8742 inout XLAI)
     xlai = jnp.maximum(lfmass * lapm, laimin)
     # respiration (:8988-9000)
-    rf = jnp.where(igs == 0.0, 0.5, 1.0)
+    rf = sel(igs == 0.0, 0.5, 1.0)
     fnf = jnp.minimum(foln / jnp.maximum(1.0e-6, p.folnmx), 1.0)
     tf = p.arm ** ((tv - 298.16) / 10.0)
     resp = p.rmf25 * tf * fnf * xlai * rf * (1.0 - wstres)
@@ -86,13 +88,13 @@ def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
 
     # allocation fractions (:9009-9030)
     leafpt = jnp.exp(0.01 * (1.0 - jnp.exp(0.75 * xlai)) * xlai)
-    leafpt = jnp.where(is_eblforest,
+    leafpt = sel(is_eblforest,
                        jnp.exp(0.01 * (1.0 - jnp.exp(0.50 * xlai)) * xlai),
                        leafpt)
     nonlef = 1.0 - leafpt
     stempt = xlai / 10.0
     leafpt = leafpt - stempt
-    woodf = jnp.where(wood > 0.0,
+    woodf = sel(wood > 0.0,
                       (1.0 - jnp.exp(-bf * (p.wrrat * rtmass
                                             / jnp.maximum(wood, 1e-6))) / bf)
                       * p.wdpool,
@@ -119,8 +121,8 @@ def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
     addnpplf = jnp.maximum(0.0, leafpt * carbfx - grleaf - rsleaf)
     addnppst = jnp.maximum(0.0, stempt * carbfx - grstem - rsstem)
     cold = tv < p.tmin
-    addnpplf = jnp.where(cold, 0.0, addnpplf)
-    addnppst = jnp.where(cold, 0.0, addnppst)
+    addnpplf = sel(cold, 0.0, addnpplf)
+    addnppst = sel(cold, 0.0, addnppst)
 
     lfdel = (lfmass - lfmsmn) / dt
     stdel = (stmass - stmsmn) / dt
@@ -135,7 +137,7 @@ def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
     lfmass = lfmass + (nppl - lftovr - dielf) * dt
     stmass = stmass + (npps - sttovr - diest) * dt
     rtmass_n = rtmass + (nppr - rttovr) * dt
-    rttovr = jnp.where(rtmass_n < 0.0, nppr, rttovr)
+    rttovr = sel(rtmass_n < 0.0, nppr, rttovr)
     rtmass = jnp.maximum(rtmass_n, 0.0)
     wood = (wood + (nppw - wdtovr) * dt) * p.wdpool
 
@@ -161,7 +163,7 @@ def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
     z = jnp.zeros_like(tv)
 
     def mask(x):
-        return jnp.where(nonveg, z, x)
+        return sel(nonveg, z, x)
 
     return CarbonOut(
         lfmass=mask(lfmass), rtmass=mask(rtmass), stmass=mask(stmass),

@@ -19,8 +19,9 @@ def safe_div(num, den, eps=MPE):
 
 
 def sanitize(x, cond, fill=1.0):
-    """Replace entries where ``cond`` is False by ``fill`` (pre-division)."""
-    return jnp.where(cond, x, fill)
+    """Replace entries where ``cond`` is False by ``fill`` (pre-division).
+    Rank-safe for Mosaic (uses sel)."""
+    return sel(cond, x, fill)
 
 
 def snow_layer_mask(isnow, nsnow: int):
@@ -79,3 +80,120 @@ def esat(tc):
     desw = 100.0 * (c0 + tc * (c1 + tc * (c2 + tc * (c3 + tc * (c4 + tc * (c5 + tc * c6))))))
     desi = 100.0 * (d0 + tc * (d1 + tc * (d2 + tc * (d3 + tc * (d4 + tc * (d5 + tc * d6))))))
     return esw, esi, desw, desi
+
+
+def _norm_idx(idx, k):
+    if isinstance(idx, int) and idx < 0:
+        idx += k
+    return jnp.clip(idx, 0, k - 1)
+
+
+def take1(a, idx):
+    """Per-column dynamic gather a[idx] over a tiny layer axis, as
+    one-hot arithmetic (TPU-friendly: no gather op; vectorizes cleanly
+    under vmap and lowers inside Pallas kernels).  idx is clipped
+    (negative static indices wrap, matching numpy)."""
+    k = a.shape[0]
+    idx = _norm_idx(idx, k)
+    oh = jnp.arange(k) == idx
+    return jnp.sum(jnp.where(oh, a, jnp.zeros_like(a)), axis=0)
+
+
+def put1(a, idx, val):
+    """a.at[idx].set(val) via select (no scatter)."""
+    k = a.shape[0]
+    idx = _norm_idx(idx, k)
+    return jnp.where(jnp.arange(k) == idx, val, a)
+
+
+def add1(a, idx, val):
+    """a.at[idx].add(val) via select (no scatter)."""
+    k = a.shape[0]
+    idx = _norm_idx(idx, k)
+    return a + jnp.where(jnp.arange(k) == idx, val, jnp.zeros_like(a))
+
+
+def roll_to_front(a, start):
+    """local[k] = a[(start+k) % n] for tiny n (dynamic roll without the
+    gather that jnp.roll(traced shift) lowers to)."""
+    n = a.shape[0]
+    return jnp.stack([take1(a, (start + k) % n) for k in range(n)])
+
+
+def atan_tpu(x):
+    """arctan via argument reduction + odd polynomial (Mosaic lacks an
+    atan primitive).  Max error ~2e-7 rad over the real line: reduce to
+    |t| <= tan(pi/8) with atan(x)=pi/2-atan(1/x) and
+    atan(x)=pi/4+atan((x-1)/(x+1)), then a 6-term Taylor series."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    inv = a > 1.0
+    a1 = jnp.where(inv, 1.0 / jnp.maximum(a, 1e-30), a)
+    red = a1 > 0.41421356
+    t = jnp.where(red, (a1 - 1.0) / (a1 + 1.0), a1)
+    w = t * t
+    p = t * (1.0 + w * (-1.0 / 3.0 + w * (1.0 / 5.0 + w * (-1.0 / 7.0
+              + w * (1.0 / 9.0 - w / 11.0)))))
+    r = jnp.where(red, 0.78539816 + p, p)
+    r = jnp.where(inv, 1.57079633 - r, r)
+    return s * r
+
+
+def cumsum_small(x):
+    """Prefix sum along axis 0 for tiny static lengths, unrolled
+    (Mosaic has no cumsum primitive)."""
+    outs = []
+    acc = jnp.zeros_like(x[0])
+    for k in range(x.shape[0]):
+        acc = acc + x[k]
+        outs.append(acc)
+    return jnp.stack(outs)
+
+
+def first_true_idx(h, default):
+    """Index of the first True in a tiny bool vector (no argmax —
+    Mosaic's reduce-index is f32-only).  ``default`` when none True."""
+    seen = cumsum_small(h.astype(jnp.int32))
+    first = h & (seen == 1)
+    k = h.shape[0]
+    idx = jnp.sum(jnp.where(first, jnp.arange(k), 0))
+    return jnp.where(jnp.any(h), idx, default)
+
+
+def last_true_idx(h, default):
+    """Index of the last True in a tiny bool vector."""
+    k = h.shape[0]
+    idx = jnp.max(jnp.where(h, jnp.arange(k), -1))
+    return jnp.where(jnp.any(h), idx, default)
+
+
+def sel(cond, a, b):
+    """Three-arg ``jnp.where`` that never rank-expands booleans.
+
+    Mosaic cannot reshape i1 vectors (e.g. (8,128) -> (8,128,1) when a
+    per-column mask broadcasts over a layer axis); broadcasting the
+    condition as int32 and comparing at full shape sidesteps it with no
+    numeric change.  Used throughout the column physics so the whole
+    step lowers inside one Pallas kernel.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    c = jnp.asarray(cond, jnp.int32)
+    shape = jnp.broadcast_shapes(c.shape, a.shape, b.shape)
+    cb = c + jnp.zeros(shape, jnp.int32)
+    if a.dtype == jnp.bool_ or b.dtype == jnp.bool_:
+        # Mosaic lowers select-on-i1-operands through an i8->i1 trunc it
+        # can't vectorize; select in the int32 domain instead.
+        out = jnp.where(cb != 0, jnp.asarray(a, jnp.int32),
+                        jnp.asarray(b, jnp.int32))
+        return out != 0
+    return jnp.where(cb != 0, a, b)
+
+
+def band(*masks):
+    """Logical AND over bool masks of mixed ranks, broadcast in the
+    int32 domain (Mosaic cannot rank-expand i1 vectors)."""
+    acc = jnp.asarray(masks[0], jnp.int32)
+    for m in masks[1:]:
+        acc = acc * jnp.asarray(m, jnp.int32)
+    return acc != 0

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..params.tables import EG
-from .common import MPE, sanitize
+from .common import MPE, sanitize, sel
 from .thermal import thermoprop
 from .radiation import radiation
 from .flux import vege_flux, bare_flux
@@ -127,26 +127,26 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
     veg = vai > 0.0
 
     # snow cover fraction, Niu & Yang 2007 (:1545-1550)
-    bdsno = sneqv / jnp.where(snowh > 0, snowh, 1.0)
+    bdsno = sneqv / sel(snowh > 0, snowh, 1.0)
     fmelt = (bdsno / 100.0) ** C.MFSNO
-    fsno = jnp.where(snowh > 0.0,
-                     jnp.tanh(snowh / (2.5 * Z0_BARE * jnp.where(fmelt > 0, fmelt, 1.0))),
+    fsno = sel(snowh > 0.0,
+                     jnp.tanh(snowh / (2.5 * Z0_BARE * sel(fmelt > 0, fmelt, 1.0))),
                      0.0)
 
     # ground roughness (:1553-1563)
     if ist == 2:
-        z0mg = jnp.where(tg <= C.TFRZ,
+        z0mg = sel(tg <= C.TFRZ,
                          0.01 * (1.0 - fsno) + fsno * C.Z0SNO, 0.01)
     else:
         z0mg = Z0_BARE * (1.0 - fsno) + fsno * C.Z0SNO
 
     # displacement height / roughness (:1565-1578)
     zpdg = snowh
-    z0m = jnp.where(veg, p.z0mvt, z0mg)
-    zpd_veg = jnp.where(snowh > 0.65 * htop, snowh, 0.65 * htop)
-    zpd = jnp.where(veg, zpd_veg, zpdg)
+    z0m = sel(veg, p.z0mvt, z0mg)
+    zpd_veg = sel(snowh > 0.65 * htop, snowh, 0.65 * htop)
+    zpd = sel(veg, zpd_veg, zpdg)
     zlvl = jnp.maximum(zpd, htop) + zref
-    zlvl = jnp.where(zpdg >= zlvl, zpdg + zref, zlvl)
+    zlvl = sel(zpdg >= zlvl, zpdg + zref, zlvl)
 
     # thermal properties
     tp = thermoprop(cfg, p, isnow, dzsnso, snowh, snice, snliq, smc,
@@ -176,12 +176,12 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
             gx = 1.0 - jnp.exp(-5.8 * jnp.log(PSIWLT / psi))
     gx = jnp.clip(gx, 0.0, 1.0)
     # -ZSOIL(NROOT) = total root-zone depth (positive)
-    znroot = jnp.sum(jnp.where(root_mask, jnp.asarray(cfg.dzs, gx.dtype), 0.0))
-    btrani = jnp.where(root_mask,
+    znroot = jnp.sum(sel(root_mask, jnp.asarray(cfg.dzs, gx.dtype), 0.0))
+    btrani = sel(root_mask,
                        jnp.maximum(MPE, dzsnso[nsnow:] / jnp.maximum(znroot, MPE) * gx),
                        0.0)
     btran = jnp.maximum(MPE, jnp.sum(btrani))
-    btrani = jnp.where(root_mask, btrani / btran, 0.0)
+    btrani = sel(root_mask, btrani / btran, 0.0)
     if ist != 1:
         btran = jnp.zeros_like(btran)
 
@@ -194,17 +194,17 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
         l_rsurf = (-zsoil[0]) * (jnp.exp((1.0 - jnp.minimum(1.0, sh2o0 / p.smcmax)) ** 5) - 1.0) / (2.71828 - 1.0)
         d_rsurf = 2.2e-5 * p.smcmax * p.smcmax * (1.0 - p.smcwlt / p.smcmax) ** (2.0 + 3.0 / p.bexp)
         rsurf = l_rsurf / d_rsurf
-        rsurf = jnp.where((sh2o0 < 0.01) & (snowh == 0.0), 1.0e6, rsurf)
+        rsurf = sel((sh2o0 < 0.01) & (snowh == 0.0), 1.0e6, rsurf)
         psi1 = -p.psisat * (jnp.maximum(0.01, sh2o0) / p.smcmax) ** (-p.bexp)
         rhsur = fsno + (1.0 - fsno) * jnp.exp(psi1 * C.GRAV / (C.RW * tg))
-    rsurf = jnp.where(p.is_urban & (snowh == 0.0), 1.0e6, rsurf)
+    rsurf = sel(p.is_urban & (snowh == 0.0), 1.0e6, rsurf)
 
     # psychrometric constants (:1673-1689)
     frozen_canopy = tv <= C.TFRZ
-    latheav = jnp.where(frozen_canopy, C.HSUB, C.HVAP)
+    latheav = sel(frozen_canopy, C.HSUB, C.HVAP)
     gammav = C.CPAIR * sfcprs / (0.622 * latheav)
     frozen_ground = tg <= C.TFRZ
-    latheag = jnp.where(frozen_ground, C.HSUB, C.HVAP)
+    latheag = sel(frozen_ground, C.HSUB, C.HVAP)
     gammag = C.CPAIR * sfcprs / (0.622 * latheag)
 
     # vegetated-fraction solver (always computed; masked blend below)
@@ -227,38 +227,38 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
 
     # blend (:1747-1785)
     def blend(v, b_):
-        return jnp.where(use_veg, fveg * v + (1.0 - fveg) * b_, b_)
+        return sel(use_veg, fveg * v + (1.0 - fveg) * b_, b_)
 
     taux = blend(vf.tauxv, bf.tauxb)
     tauy = blend(vf.tauyv, bf.tauyb)
-    fira = jnp.where(use_veg,
+    fira = sel(use_veg,
                      fveg * vf.irg + (1.0 - fveg) * bf.irb + vf.irc,
                      bf.irb)
-    fsh = jnp.where(use_veg,
+    fsh = sel(use_veg,
                     fveg * vf.shg + (1.0 - fveg) * bf.shb + vf.shc,
                     bf.shb)
     fgev = blend(vf.evg, bf.evb)
     ssoil = blend(vf.ghv, bf.ghb)
-    fcev = jnp.where(use_veg, vf.evc, 0.0)
-    fctr = jnp.where(use_veg, vf.tr, 0.0)
+    fcev = sel(use_veg, vf.evc, 0.0)
+    fctr = sel(use_veg, vf.tr, 0.0)
     tg_new = blend(vf.tgv, bf.tgb)
     t2m = blend(vf.t2mv, bf.t2mb)
-    ts = jnp.where(use_veg, fveg * vf.tv + (1.0 - fveg) * bf.tgb, tg_new)
+    ts = sel(use_veg, fveg * vf.tv + (1.0 - fveg) * bf.tgb, tg_new)
     cm_new = blend(vf.cmv, bf.cmb)
     ch_new = blend(vf.chv, bf.chb)
-    q1 = jnp.where(use_veg,
+    q1 = sel(use_veg,
                    fveg * (vf.eah * 0.622 / (sfcprs - 0.378 * vf.eah))
                    + (1.0 - fveg) * vf.qsfc,
                    bf.qsfc)
     q2e = blend(vf.q2v, bf.q2b)
-    rssun = jnp.where(use_veg, vf.rssun, 0.0)
-    rssha = jnp.where(use_veg, vf.rssha, 0.0)
-    tgv = jnp.where(use_veg, vf.tgv, bf.tgb)
-    chv = jnp.where(use_veg, vf.chv, bf.chb)
-    tv_new = jnp.where(use_veg, vf.tv, tv)
-    eah_new = jnp.where(use_veg, vf.eah, eah)
-    tah_new = jnp.where(use_veg, vf.tah, tah)
-    qsfc_new = jnp.where(use_veg, vf.qsfc, bf.qsfc)
+    rssun = sel(use_veg, vf.rssun, 0.0)
+    rssha = sel(use_veg, vf.rssha, 0.0)
+    tgv = sel(use_veg, vf.tgv, bf.tgb)
+    chv = sel(use_veg, vf.chv, bf.chb)
+    tv_new = sel(use_veg, vf.tv, tv)
+    eah_new = sel(use_veg, vf.eah, eah)
+    tah_new = sel(use_veg, vf.tah, tah)
+    qsfc_new = sel(use_veg, vf.qsfc, bf.qsfc)
 
     fire = lwdn + fira
     fire_ok = fire > 0.0
@@ -268,7 +268,7 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
     trad = ((fire - (1.0 - emissi) * lwdn) / (emissi * C.SB)) ** 0.25
 
     apar = rad.parsun * rad.laisun + rad.parsha * rad.laisha
-    psn = jnp.where(use_veg,
+    psn = sel(use_veg,
                     vf.psnsun * rad.laisun + vf.psnsha * rad.laisha, 0.0)
 
     # snow/soil temperature (:1813)
@@ -279,15 +279,15 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
     tgb = bf.tgb
     if cfg.opt_stc == 2:
         cap = (snowh > 0.05) & (tg_new > C.TFRZ)
-        tgv = jnp.where(cap, C.TFRZ, tgv)
-        tgb_c = jnp.where(cap, C.TFRZ, tgb)
-        tg_new = jnp.where(cap,
-                           jnp.where(use_veg,
+        tgv = sel(cap, C.TFRZ, tgv)
+        tgb_c = sel(cap, C.TFRZ, tgb)
+        tg_new = sel(cap,
+                           sel(use_veg,
                                      fveg * C.TFRZ + (1.0 - fveg) * tgb_c,
                                      tgb_c),
                            tg_new)
-        ts = jnp.where(cap,
-                       jnp.where(use_veg,
+        ts = sel(cap,
+                       sel(use_veg,
                                  fveg * tv_new + (1.0 - fveg) * tgb_c,
                                  tgb_c),
                        ts)

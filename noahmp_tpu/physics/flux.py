@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from .common import MPE, tdc, esat
+from .common import MPE, tdc, esat, take1, sel
 from .sfc_exchange import sfcdif1, sfcdif1_init, Sfcdif1State, ragrb
 from .sfcdif2 import sfcdif2
 from .sfcdif34 import sfcdif3, sfcdif4
@@ -34,8 +34,8 @@ def _estsat(t):
     """ES and d(ES)/dT at temperature t (K), ice/water switched."""
     tc = tdc(t)
     esw, esi, dsw, dsi = esat(tc)
-    est = jnp.where(tc > 0.0, esw, esi)
-    dest = jnp.where(tc > 0.0, dsw, dsi)
+    est = sel(tc > 0.0, esw, esi)
+    dest = sel(tc > 0.0, dsw, dsi)
     return est, dest
 
 
@@ -97,9 +97,9 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
 
     # top active layer values for ground heat flux coupling
     top = isnow + nsnow
-    df_top = jnp.take(df, top, mode="clip")
-    dz_top = jnp.take(dzsnso, top, mode="clip")
-    stc_top = jnp.take(stc, top, mode="clip")
+    df_top = take1(df, top)
+    dz_top = take1(dzsnso, top)
+    stc_top = take1(stc, top)
 
     z = jnp.zeros((), dtype)
 
@@ -107,7 +107,7 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
         (tv_c, tah_c, eah_c, cm_c, ch_c, qsfc_c, sf, mozg, fhg, h, hg,
          qfx, rssun, rssha, psnsun, psnsha, irc, shc, evc, tr, dtv,
          rahc, rahg, rawg, rb, done, liter) = carry
-        active = ~done
+        active = done == 0  # int32 carry: Mosaic chokes on i1 loop state
 
         z0h = z0m
         z0hg = z0mg
@@ -205,7 +205,7 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
         shc_n = fveg * rhoair * C.CPAIR * cvh * (tv_c - tah_n)
         evc_n = fveg * rhoair * C.CPAIR * cew * (estv - eah_n) / gammav
         tr_n = fveg * rhoair * C.CPAIR * ctw * (estv - eah_n) / gammav
-        evc_n = jnp.where(tv_c > C.TFRZ,
+        evc_n = sel(tv_c > C.TFRZ,
                           jnp.minimum(canliq * latheav / cfg.dt, evc_n),
                           jnp.minimum(canice * latheav / cfg.dt, evc_n))
 
@@ -222,16 +222,18 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
         h_n = rhoair * C.CPAIR * (tah_n - sfctmp) / rahc_n
         hg_n = rhoair * C.CPAIR * (tg - tah_n) / rg.rahg
         qsfc_n = (0.622 * eah_n) / (sfcprs - 0.378 * eah_n)
-        qfx_n = jnp.where(cfg.opt_sfc == 4,
+        qfx_n = sel(cfg.opt_sfc == 4,
                           (qsfc_n - qair) * rhoair * caw, qfx)
 
         # LITER latch (:3484-3489)
-        done_n = done | (active & (liter == 1))
-        liter_n = jnp.where(active & (it >= 4) & (jnp.abs(dtv_n) <= 0.01)
-                            & (liter == 0), 1, liter)
+        done_n = jnp.maximum(done,
+                             (active & (liter == 1)).astype(jnp.int32))
+        liter_n = jnp.maximum(
+            liter, (active & (it >= 4) & (jnp.abs(dtv_n) <= 0.01)
+                    & (liter == 0)).astype(jnp.int32))
 
         def u(new, old):
-            return jnp.where(active, new, old)
+            return sel(active, new, old)
 
         sf_u = Sfcdif1State(*[u(n, o) for n, o in zip(sf_n, sf)])
         return (u(tv_n, tv_c), u(tah_n, tah_c), u(eah_n, eah_c),
@@ -242,7 +244,7 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
                 u(irc_n, irc), u(shc_n, shc), u(evc_n, evc), u(tr_n, tr),
                 u(dtv_n, dtv), u(rahc_n, rahc), u(rg.rahg, rahg),
                 u(rg.rawg, rawg), u(rg.rb, rb), done_n,
-                jnp.where(active, liter_n, liter))
+                sel(active, liter_n, liter))
 
     sf0 = sfcdif1_init(dtype)
     # carry CM/CH from the previous timestep as SFCDIF2 priors
@@ -250,7 +252,7 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
             z, z, z, z, z, z, z, z, z,
             jnp.ones((), dtype), jnp.ones((), dtype), jnp.ones((), dtype),
             jnp.ones((), dtype),
-            jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+            (tv * 0.0).astype(jnp.int32), (tv * 0.0).astype(jnp.int32))
     carry1 = loop1_body(0, init, with_stomata=True)
     (tv, tah, eah, cm, ch, qsfc, sf, mozg, fhg, h, hg, qfx, rssun,
      rssha, psnsun, psnsha, irc, shc, evc, tr, dtv, rahc, rahg, rawg,
@@ -261,7 +263,7 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
     cir_g = emg * C.SB
     csh_g = rhoair * C.CPAIR / rahg
     cev_g = rhoair * C.CPAIR / (gammag * (rawg + rsurf))
-    cgh_g = 2.0 * df_top / jnp.where(dz_top > 0, dz_top, 1.0)
+    cgh_g = 2.0 * df_top / sel(dz_top > 0, dz_top, 1.0)
 
     def loop2_body(it, carry):
         tg_c, irg, shg, evg, gh, estg_c = carry
@@ -290,11 +292,11 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
         shg_cap = csh_g * (tgv_cap - tah)
         evg_cap = cev_g * (estg_l * rhsur - eah)
         ghv_cap = sag - (irg_cap + shg_cap + evg_cap)
-        tgv = jnp.where(cap, tgv_cap, tgv)
-        irg = jnp.where(cap, irg_cap, irg)
-        shg = jnp.where(cap, shg_cap, shg)
-        evg = jnp.where(cap, evg_cap, evg)
-        ghv = jnp.where(cap, ghv_cap, ghv)
+        tgv = sel(cap, tgv_cap, tgv)
+        irg = sel(cap, irg_cap, irg)
+        shg = sel(cap, shg_cap, shg)
+        evg = sel(cap, evg_cap, evg)
+        ghv = sel(cap, ghv_cap, ghv)
 
     tauxv = -rhoair * cm * ur * uu
     tauyv = -rhoair * cm * ur * vv
@@ -305,10 +307,10 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
         cah2 = sf.fv * C.VKC / (jnp.log((2.0 + z0h) / z0h) - sf.fh2)
         cq2v = cah2
         low = cah2 < 1.0e-5
-        t2mv = jnp.where(low, tah,
+        t2mv = sel(low, tah,
                          tah - (shg + shc / fveg_s) / (rhoair * C.CPAIR)
                          / jnp.maximum(cah2, 1e-10))
-        q2v = jnp.where(low, qsfc,
+        q2v = sel(low, qsfc,
                         qsfc - ((evc + tr) / fveg_s + evg)
                         / (latheav * rhoair) / jnp.maximum(cq2v, 1e-10))
     else:
@@ -316,10 +318,10 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
         ch2v = sf.fh
         cah2 = 1.0 / jnp.maximum(1.0, 1.0 / jnp.maximum(ch2v * ur, 1e-10))
         low = cah2 < 1.0e-5
-        t2mv = jnp.where(low, tah,
+        t2mv = sel(low, tah,
                          tah - (shg + shc) / (rhoair * C.CPAIR)
                          / jnp.maximum(cah2, 1e-10))
-        q2v = jnp.where(low,
+        q2v = sel(low,
                         eah * 0.622 / (sfcprs - 0.378 * eah),
                         eah * 0.622 / (sfcprs - 0.378 * eah)
                         - qfx / (rhoair * jnp.maximum(cah2, 1e-10)))
@@ -361,10 +363,10 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
 
     cir = emg * C.SB
     top = isnow + nsnow
-    df_top = jnp.take(df, top, mode="clip")
-    dz_top = jnp.take(dzsnso, top, mode="clip")
-    stc_top = jnp.take(stc, top, mode="clip")
-    cgh = 2.0 * df_top / jnp.where(dz_top > 0, dz_top, 1.0)
+    df_top = take1(df, top)
+    dz_top = take1(dzsnso, top)
+    stc_top = take1(stc, top)
+    cgh = 2.0 * df_top / sel(dz_top > 0, dz_top, 1.0)
 
     def loop3_body(it, carry):
         (tgb_c, cm_c, ch_c, qsfc_c, sf, h, qfx, irb, shb, evb, ghb,
@@ -382,8 +384,8 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
             cm_n = akms / ur
             ch_n = akhs / ur
             snow_cap = snowh > 0.0
-            cm_n = jnp.where(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
-            ch_n = jnp.where(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
+            cm_n = sel(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
+            ch_n = sel(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
             sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, wstar2_n, sf.fh,
                                 sf.fm2, sf.fh2, fv_n)
         elif cfg.opt_sfc == 3:
@@ -393,8 +395,8 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
             cm_n = akms / ur
             ch_n = akhs / ur
             snow_cap = snowh > 0.0
-            cm_n = jnp.where(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
-            ch_n = jnp.where(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
+            cm_n = sel(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
+            ch_n = sel(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
             sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, sf.fm,
                                 chs2 / ur, sf.fm2, sf.fh2, fv_n)
         elif cfg.opt_sfc == 4:
@@ -404,8 +406,8 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
             cm_n = cm4 / ur
             ch_n = chs / ur
             snow_cap = snowh > 0.0
-            cm_n = jnp.where(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
-            ch_n = jnp.where(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
+            cm_n = sel(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
+            ch_n = sel(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
             sf_n = Sfcdif1State(rmol_n, sf.mozsgn, sf.fm,
                                 chs2 / ur, sf.fm2, sf.fh2, fv_n)
         else:
@@ -454,11 +456,11 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
         shb_cap = csh * (tgb_cap - sfctmp)
         evb_cap = cev * (estg * rhsur - eair)
         ghb_cap = sag - (irb_cap + shb_cap + evb_cap)
-        tgb = jnp.where(cap, tgb_cap, tgb)
-        irb = jnp.where(cap, irb_cap, irb)
-        shb = jnp.where(cap, shb_cap, shb)
-        evb = jnp.where(cap, evb_cap, evb)
-        ghb = jnp.where(cap, ghb_cap, ghb)
+        tgb = sel(cap, tgb_cap, tgb)
+        irb = sel(cap, irb_cap, irb)
+        shb = sel(cap, shb_cap, shb)
+        evb = sel(cap, evb_cap, evb)
+        ghb = sel(cap, ghb_cap, ghb)
 
     tauxb = -rhoair * cm * ur * uu
     tauyb = -rhoair * cm * ur * vv
@@ -469,20 +471,20 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
         ehb2 = sf.fv * C.VKC / (jnp.log((2.0 + z0h) / z0h) - sf.fh2)
         cq2b = ehb2
         low = ehb2 < 1.0e-5
-        t2mb = jnp.where(low, tgb,
+        t2mb = sel(low, tgb,
                          tgb - shb / (rhoair * C.CPAIR)
                          / jnp.maximum(ehb2, 1e-10))
-        q2b = jnp.where(low, qsfc,
+        q2b = sel(low, qsfc,
                         qsfc - evb / (lathea * rhoair)
                         * (1.0 / jnp.maximum(cq2b, 1e-10) + rsurf))
-        q2b = jnp.where(p.is_urban, qsfc, q2b)
+        q2b = sel(p.is_urban, qsfc, q2b)
     else:
         ch2b = sf.fh
         ehb2 = 1.0 / jnp.maximum(1.0, 1.0 / jnp.maximum(ch2b * ur, 1e-10))
         low = ehb2 < 1.0e-5
-        t2mb = jnp.where(low, tgb,
+        t2mb = sel(low, tgb,
                          tgb - shb / (rhoair * C.CPAIR * jnp.maximum(ehb2, 1e-10)))
-        q2b = jnp.where(low, qsfc,
+        q2b = sel(low, qsfc,
                         qsfc - qfx / (rhoair * jnp.maximum(ehb2, 1e-10)))
 
     chb = 1.0 / jnp.maximum(1.0, 1.0 / (ch * ur))  # CH = EHB = 1/RAHB

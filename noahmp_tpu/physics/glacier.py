@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..state.state import ColumnState, Forcing
-from .common import MPE, sanitize, snso_layer_mask, dzsnso_from_zsnso
+from .common import MPE, sanitize, snso_layer_mask, dzsnso_from_zsnso, take1, put1, add1, sel
 from .thermal import csnow
 from .radiation import snow_age, snowalb_bats, snowalb_class
 from .sfc_exchange import sfcdif1, sfcdif1_init
@@ -36,20 +36,21 @@ def thermoprop_glacier(cfg, isnow, dzsnso, snowh, snice, snliq):
     """THERMOPROP_GLACIER (:575-646): ice-sheet 'soil' properties."""
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
     sn = csnow(isnow, snice, snliq, dzsnso[:nsnow], nsnow)
-    dzs = jnp.asarray(cfg.dzs, snowh.dtype)
-    zmid = jnp.cumsum(dzs) - 0.5 * dzs
+    import numpy as _np
+    zmid = jnp.asarray(_np.cumsum(cfg.dzs) - 0.5 * _np.asarray(cfg.dzs),
+                       snowh.dtype)
     hcpct_soil = 1.0e6 * (0.8194 + 0.1309 * zmid)
     df_soil = 0.32333 + 0.10073 * zmid
     df = jnp.concatenate([sn.tksno, df_soil])
     hcpct = jnp.concatenate([sn.cvsno, hcpct_soil])
     act = snso_layer_mask(isnow, nsnow, nsoil)
     dz_safe = sanitize(dzsnso, act, 1.0)
-    fact = jnp.where(act, cfg.dt / (hcpct * dz_safe), 0.0)
+    fact = sel(act, cfg.dt / (hcpct * dz_safe), 0.0)
     dz1 = dzsnso[nsnow]
     df1_nosnow = (df[nsnow] * dz1 + 0.35 * snowh) / (snowh + dz1)
     dz0 = dzsnso[nsnow - 1]
     df1_snow = (df[nsnow] * dz1 + df[nsnow - 1] * dz0) / jnp.maximum(dz0 + dz1, 1e-12)
-    df = df.at[nsnow].set(jnp.where(isnow == 0, df1_nosnow, df1_snow))
+    df = put1(df, nsnow, sel(isnow == 0, df1_nosnow, df1_snow))
     return df, hcpct, fact, sn
 
 
@@ -65,10 +66,10 @@ def radiation_glacier(cfg, tg, sneqvo, sneqv, cosz, qsnow, solad, solai,
         alb, albsnd, albsni = snowalb_class(qsnow, cfg.dt, albold)
         albold_new = alb
     day = cosz > 0.0
-    tauss_new = jnp.where(day, tauss_new, tauss)
-    albold_new = jnp.where(day, albold_new, albold)
+    tauss_new = sel(day, tauss_new, tauss)
+    albold_new = sel(day, albold_new, albold)
 
-    fsno = jnp.where(sneqv > 0.0, 1.0, 0.0)
+    fsno = sel(sneqv > 0.0, 1.0, 0.0)
     albsnd = albice * (1.0 - fsno) + albsnd * fsno
     albsni = albice * (1.0 - fsno) + albsni * fsno
     sag = jnp.sum(solad * (1.0 - albsnd) + solai * (1.0 - albsni))
@@ -84,10 +85,10 @@ def glacier_flux(cfg, isnow, df, dzsnso, z0m, zlvl, zpd, qair, sfctmp,
     emg = 0.98
     cir = emg * C.SB
     top = isnow + nsnow
-    df_top = jnp.take(df, top, mode="clip")
-    dz_top = jnp.take(dzsnso, top, mode="clip")
-    stc_top = jnp.take(stc, top, mode="clip")
-    cgh = 2.0 * df_top / jnp.where(dz_top > 0, dz_top, 1.0)
+    df_top = take1(df, top)
+    dz_top = take1(dzsnso, top)
+    stc_top = take1(stc, top)
+    cgh = 2.0 * df_top / sel(dz_top > 0, dz_top, 1.0)
     dtype = tg.dtype
     z = jnp.zeros((), dtype)
 
@@ -133,18 +134,18 @@ def glacier_flux(cfg, isnow, df, dzsnso, z0m, zlvl, zpd, qair, sfctmp,
         shb_c = csh * (tgb_c - sfctmp)
         evb_c = cev * (estg * rhsur - eair)
         ghb_c = sag - (irb_c + shb_c + evb_c)
-        tgb = jnp.where(cap, tgb_c, tgb)
-        irb = jnp.where(cap, irb_c, irb)
-        shb = jnp.where(cap, shb_c, shb)
-        evb = jnp.where(cap, evb_c, evb)
-        ghb = jnp.where(cap, ghb_c, ghb)
+        tgb = sel(cap, tgb_c, tgb)
+        irb = sel(cap, irb_c, irb)
+        shb = sel(cap, shb_c, shb)
+        evb = sel(cap, evb_c, evb)
+        ghb = sel(cap, ghb_c, ghb)
 
     z0h = z0m
     ehb2 = sf.fv * C.VKC / (jnp.log((2.0 + z0h) / z0h) - sf.fh2)
     low = ehb2 < 1.0e-5
-    t2m = jnp.where(low, tgb, tgb - shb / (rhoair * C.CPAIR)
+    t2m = sel(low, tgb, tgb - shb / (rhoair * C.CPAIR)
                     / jnp.maximum(ehb2, 1e-10))
-    q2e = jnp.where(low, qsfc, qsfc - evb / (lathea * rhoair)
+    q2e = sel(low, qsfc, qsfc - evb / (lathea * rhoair)
                     * (1.0 / jnp.maximum(ehb2, 1e-10) + rsurf))
     ch_out = 1.0 / jnp.maximum(1.0, 1.0 / (ch * ur))
     return tgb, cm, ch_out, qsfc, irb, shb, evb, ghb, t2m, q2e, ehb2
@@ -168,17 +169,17 @@ def phasechange_glacier(cfg, isnow, fact, dzsnso, stc, snice, snliq,
     wmass0 = mice + mliq
 
     imelt = jnp.zeros(n, jnp.int32)
-    imelt = jnp.where(act & (mice > 0.0) & (stc >= C.TFRZ), 1, imelt)
-    imelt = jnp.where(act & (mliq > 0.0) & (stc < C.TFRZ), 2, imelt)
+    imelt = sel(act & (mice > 0.0) & (stc >= C.TFRZ), 1, imelt)
+    imelt = sel(act & (mliq > 0.0) & (stc < C.TFRZ), 2, imelt)
     layerless = (isnow == 0) & (sneqv > 0.0)
-    imelt = jnp.where((j == nsnow) & layerless & (stc >= C.TFRZ), 1, imelt)
+    imelt = sel((j == nsnow) & layerless & (stc >= C.TFRZ), 1, imelt)
 
     fact_s = sanitize(fact, act & (fact != 0.0), 1.0)
-    hm = jnp.where(imelt > 0, (stc - C.TFRZ) / fact_s, 0.0)
-    stc = jnp.where(imelt > 0, C.TFRZ, stc)
+    hm = sel(imelt > 0, (stc - C.TFRZ) / fact_s, 0.0)
+    stc = sel(imelt > 0, C.TFRZ, stc)
     bad = ((imelt == 1) & (hm < 0.0)) | ((imelt == 2) & (hm > 0.0))
-    hm = jnp.where(bad, 0.0, hm)
-    imelt = jnp.where(bad, 0, imelt)
+    hm = sel(bad, 0.0, hm)
+    imelt = sel(bad, 0, imelt)
     xm = hm * dt / C.HFUS
 
     # layerless snow melt (:1745-1765)
@@ -186,31 +187,31 @@ def phasechange_glacier(cfg, isnow, fact, dzsnso, stc, snice, snliq,
     do_ll = layerless & (xm1 > 0.0)
     temp1 = sneqv
     sneqv_ll = jnp.maximum(0.0, temp1 - xm1)
-    propor = sneqv_ll / jnp.where(temp1 > 0, temp1, 1.0)
+    propor = sneqv_ll / sel(temp1 > 0, temp1, 1.0)
     snowh_ll = jnp.maximum(0.0, propor * snowh)
     heatr_ll = hm1 - C.HFUS * (temp1 - sneqv_ll) / dt
-    xm1_new = jnp.where(heatr_ll > 0.0, heatr_ll * dt / C.HFUS, 0.0)
-    hm1_new = jnp.where(heatr_ll > 0.0, heatr_ll, 0.0)
-    qmelt = jnp.where(do_ll, jnp.maximum(0.0, temp1 - sneqv_ll) / dt, 0.0)
-    ponding = jnp.where(do_ll, temp1 - sneqv_ll, 0.0)
-    sneqv = jnp.where(do_ll, sneqv_ll, sneqv)
-    snowh = jnp.where(do_ll, snowh_ll, snowh)
-    xm = jnp.where(do_ll & (j == nsnow), xm1_new, xm)
-    hm = jnp.where(do_ll & (j == nsnow), hm1_new, hm)
+    xm1_new = sel(heatr_ll > 0.0, heatr_ll * dt / C.HFUS, 0.0)
+    hm1_new = sel(heatr_ll > 0.0, heatr_ll, 0.0)
+    qmelt = sel(do_ll, jnp.maximum(0.0, temp1 - sneqv_ll) / dt, 0.0)
+    ponding = sel(do_ll, temp1 - sneqv_ll, 0.0)
+    sneqv = sel(do_ll, sneqv_ll, sneqv)
+    snowh = sel(do_ll, snowh_ll, snowh)
+    xm = sel(do_ll & (j == nsnow), xm1_new, xm)
+    hm = sel(do_ll & (j == nsnow), hm1_new, hm)
 
     engaged = (imelt > 0) & (jnp.abs(hm) > 0.0)
     mice_melt = jnp.maximum(0.0, wice0 - xm)
     mice_frz = jnp.minimum(wmass0, wice0 - xm)
-    mice_new = jnp.where(xm > 0.0, mice_melt,
-                         jnp.where(xm < 0.0, mice_frz, mice))
-    mice = jnp.where(engaged, mice_new, mice)
-    heatr = jnp.where(engaged, hm - C.HFUS * (wice0 - mice) / dt, 0.0)
-    mliq = jnp.where(engaged, jnp.maximum(0.0, wmass0 - mice), mliq)
+    mice_new = sel(xm > 0.0, mice_melt,
+                         sel(xm < 0.0, mice_frz, mice))
+    mice = sel(engaged, mice_new, mice)
+    heatr = sel(engaged, hm - C.HFUS * (wice0 - mice) / dt, 0.0)
+    mliq = sel(engaged, jnp.maximum(0.0, wmass0 - mice), mliq)
     adj = engaged & (jnp.abs(heatr) > 0.0)
-    stc = jnp.where(adj, stc + fact_s * heatr, stc)
-    stc = jnp.where(adj & is_snow_layer & (mliq * mice > 0.0), C.TFRZ, stc)
+    stc = sel(adj, stc + fact_s * heatr, stc)
+    stc = sel(adj & is_snow_layer & (mliq * mice > 0.0), C.TFRZ, stc)
     qmelt = qmelt + jnp.sum(
-        jnp.where(engaged & is_snow_layer,
+        sel(engaged & is_snow_layer,
                   jnp.maximum(0.0, wice0 - mice) / dt, 0.0))
 
     # residual heat/cold redistribution between ice layers (:1805-1911):
@@ -238,15 +239,15 @@ def phasechange_glacier(cfg, isnow, fact, dzsnso, stc, snice, snliq,
                 heat_k = (stc_s[k] - C.TFRZ) / fact_soil[k]
                 absorbs = (jnp.abs(heat_k) > jnp.abs(heat_j)) if sign > 0 \
                     else (heat_k > jnp.abs(heat_j))
-                hk_new = jnp.where(absorbs, heat_k + heat_j, 0.0)
-                hj_new = jnp.where(absorbs, 0.0, heat_j + heat_k)
-                stc_k_new = jnp.where(absorbs,
+                hk_new = sel(absorbs, heat_k + heat_j, 0.0)
+                hj_new = sel(absorbs, 0.0, heat_j + heat_k)
+                stc_k_new = sel(absorbs,
                                       C.TFRZ + hk_new * fact_soil[k],
                                       C.TFRZ)
-                stc_s = stc_s.at[k].set(jnp.where(on, stc_k_new, stc_s[k]))
-                heat_j = jnp.where(on, hj_new, heat_j)
-            stc_s = stc_s.at[jj].set(
-                jnp.where(run & cond_j, C.TFRZ + heat_j * fact_soil[jj],
+                stc_s = put1(stc_s, k, sel(on, stc_k_new, stc_s[k]))
+                heat_j = sel(on, hj_new, heat_j)
+            stc_s = put1(stc_s, jj, 
+                sel(run & cond_j, C.TFRZ + heat_j * fact_soil[jj],
                           stc_s[jj]))
         return stc_s
 
@@ -269,23 +270,23 @@ def phasechange_glacier(cfg, isnow, fact, dzsnso, stc, snice, snliq,
                 if sign > 0:
                     cond_k = (mice_s[k] > 0.0) & (xm_j > 0.1)
                     absorbs = mice_s[k] > xm_j
-                    mice_k_new = jnp.where(absorbs, mice_s[k] - xm_j, 0.0)
-                    xm_new = jnp.where(absorbs, 0.0, xm_j - mice_s[k])
+                    mice_k_new = sel(absorbs, mice_s[k] - xm_j, 0.0)
+                    xm_new = sel(absorbs, 0.0, xm_j - mice_s[k])
                 else:
                     cond_k = (mliq_s[k] > 0.0) & (xm_j < -0.1)
                     absorbs = mliq_s[k] > jnp.abs(xm_j)
-                    mice_k_new = jnp.where(absorbs, mice_s[k] - xm_j,
+                    mice_k_new = sel(absorbs, mice_s[k] - xm_j,
                                            wmass0_s[k])
-                    xm_new = jnp.where(absorbs, 0.0, xm_j + mliq_s[k])
+                    xm_new = sel(absorbs, 0.0, xm_j + mliq_s[k])
                 on = run & cond_j & cond_k
-                mice_s = mice_s.at[k].set(jnp.where(on, mice_k_new, mice_s[k]))
-                mliq_s = mliq_s.at[k].set(jnp.where(
+                mice_s = put1(mice_s, k, sel(on, mice_k_new, mice_s[k]))
+                mliq_s = put1(mliq_s, k, sel(
                     on, jnp.maximum(0.0, wmass0_s[k] - mice_s[k]), mliq_s[k]))
-                stc_s = stc_s.at[k].set(jnp.where(on, C.TFRZ, stc_s[k]))
-                xm_j = jnp.where(on, xm_new, xm_j)
+                stc_s = put1(stc_s, k, sel(on, C.TFRZ, stc_s[k]))
+                xm_j = sel(on, xm_new, xm_j)
             heat_j = xm_j * C.HFUS / dt
-            stc_s = stc_s.at[jj].set(
-                jnp.where(run & cond_j, C.TFRZ + heat_j * fact_soil[jj],
+            stc_s = put1(stc_s, jj, 
+                sel(run & cond_j, C.TFRZ + heat_j * fact_soil[jj],
                           stc_s[jj]))
         return stc_s, mice_s, mliq_s
 
@@ -317,7 +318,7 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
     qair = f.q2
     eair = qair * f.sfcprs / (0.622 + 0.378 * qair)
     rhoair = (f.sfcprs - 0.378 * eair) / (C.RAIR * f.sfctmp)
-    swdown = jnp.where(f.cosz <= 0.0, 0.0, f.soldn)
+    swdown = sel(f.cosz <= 0.0, 0.0, f.soldn)
     solad = jnp.stack([swdown * 0.7 * 0.5, swdown * 0.7 * 0.5])
     solai = jnp.stack([swdown * 0.3 * 0.5, swdown * 0.3 * 0.5])
 
@@ -360,7 +361,7 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
                   ssoil, df, hcpct, s.snowh)
 
     if cfg.opt_stc == 2:
-        tg = jnp.where((s.snowh > 0.05) & (tg > C.TFRZ), C.TFRZ, tg)
+        tg = sel((s.snowh > 0.05) & (tg > C.TFRZ), C.TFRZ, tg)
 
     (stc, snice, snliq, sneqv, snowh, smc, sh2o, qmelt, imelt,
      ponding) = phasechange_glacier(cfg, s.isnow, fact, dzsnso, stc,
@@ -376,15 +377,15 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
     # WATER_GLACIER (:1924-2111)
     dt = cfg.dt
     if cfg.opt_snf == 1:
-        fpice = jnp.where(
+        fpice = sel(
             f.sfctmp > C.TFRZ + 2.5, 0.0,
-            jnp.where(f.sfctmp <= C.TFRZ + 0.5, 1.0,
-                      jnp.where(f.sfctmp <= C.TFRZ + 2.0,
+            sel(f.sfctmp <= C.TFRZ + 0.5, 1.0,
+                      sel(f.sfctmp <= C.TFRZ + 2.0,
                                 1.0 - (-54.632 + 0.2 * f.sfctmp), 0.6)))
     elif cfg.opt_snf == 2:
-        fpice = jnp.where(f.sfctmp >= C.TFRZ + 2.2, 0.0, 1.0)
+        fpice = sel(f.sfctmp >= C.TFRZ + 2.2, 0.0, 1.0)
     else:
-        fpice = jnp.where(f.sfctmp >= C.TFRZ, 0.0, 1.0)
+        fpice = sel(f.sfctmp >= C.TFRZ, 0.0, 1.0)
     bdfall = jnp.minimum(120.0, 67.92 + 51.25 * jnp.exp((f.sfctmp - C.TFRZ) / 2.59))
     qrain = f.prcp * (1.0 - fpice)
     qsnow = f.prcp * fpice
@@ -397,7 +398,7 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
                    qsnfro, qsnsub, qrain, snowhin, f.sfctmp)
 
     runsrf = (ponding + sw.ponding1 + sw.ponding2) / dt
-    runsrf = runsrf + jnp.where(sw.isnow == 0, sw.qsnbot + qrain,
+    runsrf = runsrf + sel(sw.isnow == 0, sw.qsnbot + qrain,
                                 sw.qsnbot)
     dzs = jnp.asarray(cfg.dzs, s.tg.dtype)
     replace = jnp.sum(dzs * (sw.sice - sice_save + sw.sh2o - sh2o_save)) \
@@ -413,10 +414,10 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
     errwat = sw.sneqv - beg_wb - (f.prcp - edir - runsrf - runsub) * dt
 
     tiny = (sw.snowh <= 1.0e-6) | (sw.sneqv <= 1.0e-3)
-    snowh_f = jnp.where(tiny, 0.0, sw.snowh)
-    sneqv_f = jnp.where(tiny, 0.0, sw.sneqv)
-    albedo = jnp.where(swdown != 0.0,
-                       fsr / jnp.where(swdown != 0, swdown, 1.0), -999.9)
+    snowh_f = sel(tiny, 0.0, sw.snowh)
+    sneqv_f = sel(tiny, 0.0, sw.sneqv)
+    albedo = sel(swdown != 0.0,
+                       fsr / sel(swdown != 0, swdown, 1.0), -999.9)
 
     s_new = ColumnState(
         isnow=sw.isnow, stc=sw.stc, zsnso=sw.zsnso, snice=sw.snice,
@@ -436,7 +437,7 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
         fgev=fgev, fctr=z, ecan=z, etran=z, edir=edir, trad=trad,
         tgb=tg, tgv=tg, t2mv=t2m, t2mb=t2m, q2v=q2e, q2b=q2e,
         runsrf=runsrf, runsub=runsub, apar=z, psn=z, sav=z, sag=sag,
-        fsno=jnp.where(sneqv_f > 0, 1.0, 0.0), nee=z, gpp=z, npp=z,
+        fsno=sel(sneqv_f > 0, 1.0, 0.0), nee=z, gpp=z, npp=z,
         fveg=z, albedo=albedo, qsnbot=sw.qsnbot, ponding=ponding,
         ponding1=sw.ponding1, ponding2=sw.ponding2, rssun=z, rssha=z,
         bgap=z, wgap=z, chv=ch, chb=ch, emissi=emissi, shg=z, shc=z,

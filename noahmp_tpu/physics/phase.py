@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from .common import sanitize, snso_layer_mask
+from .common import sanitize, snso_layer_mask, sel, band
 
 
 def frh2o(p, tkelv, smc, sh2o):
@@ -25,7 +25,7 @@ def frh2o(p, tkelv, smc, sh2o):
     ck, blim, err = 8.0, 5.5, 0.005
     bx = jnp.minimum(p.bexp, blim)
     warm = tkelv > (C.TFRZ - 1.0e-3)
-    tk = jnp.where(warm, C.TFRZ - 1.0, tkelv)  # sanitize for log()
+    tk = sel(warm, C.TFRZ - 1.0, tkelv)  # sanitize for log()
 
     swl0 = jnp.clip(smc - sh2o, 0.0, smc - 0.02)
 
@@ -39,11 +39,13 @@ def frh2o(p, tkelv, smc, sh2o):
         swlk = jnp.clip(swl - df / denom, 0.0, smc - 0.02)
         dswl = jnp.abs(swlk - swl)
         active = kcount == 0
-        kcount = jnp.where(active & (dswl <= err), kcount + 1, kcount)
-        swl = jnp.where(active, swlk, swl)
+        # add, don't select: int selects on splat loop carries trip a
+        # Mosaic replicated-layout inference bug
+        kcount = kcount + (active & (dswl <= err)).astype(jnp.int32)
+        swl = sel(active, swlk, swl)
         return swl, kcount
 
-    kc0 = jnp.zeros_like(swl0, dtype=jnp.int32)
+    kc0 = (swl0 * 0.0).astype(jnp.int32)  # tiled zero (see stomata.py)
     swl, kcount = jax.lax.fori_loop(0, 10, body, (swl0, kc0))
     free_iter = smc - swl
 
@@ -52,8 +54,8 @@ def frh2o(p, tkelv, smc, sh2o):
     fk = jnp.maximum(fk, 0.02)
     free_expl = jnp.minimum(fk, smc)
 
-    free = jnp.where(kcount == 0, free_expl, free_iter)
-    return jnp.where(warm, smc, free)
+    free = sel(kcount == 0, free_expl, free_iter)
+    return sel(warm, smc, free)
 
 
 class PhaseChangeOut(NamedTuple):
@@ -93,7 +95,7 @@ def phasechange(cfg, p, isnow, fact, dzsnso, stc, snice, snliq, sneqv,
         if cfg.opt_frz == 1:
             smp = C.HFUS * (C.TFRZ - stc_soil) / (C.GRAV * stc_soil)
             sc = p.smcmax * (smp / p.psisat) ** (-1.0 / p.bexp)
-            supercool_soil = jnp.where(stc_soil < C.TFRZ, sc, 0.0)
+            supercool_soil = sel(stc_soil < C.TFRZ, sc, 0.0)
         else:
             supercool_soil = frh2o(p, stc_soil, smc, sh2o)
         supercool_soil = supercool_soil * dz_soil * 1000.0
@@ -104,20 +106,20 @@ def phasechange(cfg, p, isnow, fact, dzsnso, stc, snice, snliq, sneqv,
 
     # melt/freeze classification (:6140-6154)
     imelt = jnp.zeros(n, jnp.int32)
-    imelt = jnp.where(act & (mice > 0.0) & (stc >= C.TFRZ), 1, imelt)
-    imelt = jnp.where(act & (mliq > supercool) & (stc < C.TFRZ), 2, imelt)
+    imelt = sel(band(act, mice > 0.0, stc >= C.TFRZ), 1, imelt)
+    imelt = sel(band(act, mliq > supercool, stc < C.TFRZ), 2, imelt)
     # layerless snow on first soil layer (:6148-6152)
     layerless = (isnow == 0) & (sneqv > 0.0)
-    imelt = jnp.where((j == nsnow) & layerless & (stc >= C.TFRZ), 1, imelt)
+    imelt = sel(band(j == nsnow, layerless, stc >= C.TFRZ), 1, imelt)
 
     # energy surplus/deficit (:6158-6173)
-    fact_s = sanitize(fact, act & (fact != 0.0), 1.0)
-    hm = jnp.where(imelt > 0, (stc - C.TFRZ) / fact_s, 0.0)
-    stc = jnp.where(imelt > 0, C.TFRZ, stc)
+    fact_s = sanitize(fact, band(act, fact != 0.0), 1.0)
+    hm = sel(imelt > 0, (stc - C.TFRZ) / fact_s, 0.0)
+    stc = sel(imelt > 0, C.TFRZ, stc)
     bad1 = (imelt == 1) & (hm < 0.0)
     bad2 = (imelt == 2) & (hm > 0.0)
-    hm = jnp.where(bad1 | bad2, 0.0, hm)
-    imelt = jnp.where(bad1 | bad2, 0, imelt)
+    hm = sel(bad1 | bad2, 0.0, hm)
+    imelt = sel(bad1 | bad2, 0, imelt)
     xm = hm * dt / C.HFUS
 
     # layer-less snowpack melting (:6177-6193)
@@ -126,20 +128,20 @@ def phasechange(cfg, p, isnow, fact, dzsnso, stc, snice, snliq, sneqv,
     do_ll = layerless & (xm1 > 0.0)
     temp1 = sneqv
     sneqv_ll = jnp.maximum(0.0, temp1 - xm1)
-    propor = sneqv_ll / jnp.where(temp1 > 0, temp1, 1.0)
+    propor = sneqv_ll / sel(temp1 > 0, temp1, 1.0)
     snowh_ll = jnp.maximum(0.0, propor * snowh)
     heatr_ll = hm1 - C.HFUS * (temp1 - sneqv_ll) / dt
-    xm1_new = jnp.where(heatr_ll > 0.0, heatr_ll * dt / C.HFUS, 0.0)
-    hm1_new = jnp.where(heatr_ll > 0.0, heatr_ll, 0.0)
+    xm1_new = sel(heatr_ll > 0.0, heatr_ll * dt / C.HFUS, 0.0)
+    hm1_new = sel(heatr_ll > 0.0, heatr_ll, 0.0)
     qmelt_ll = jnp.maximum(0.0, temp1 - sneqv_ll) / dt
     ponding_ll = temp1 - sneqv_ll
 
-    sneqv = jnp.where(do_ll, sneqv_ll, sneqv)
-    snowh = jnp.where(do_ll, snowh_ll, snowh)
-    xm = jnp.where(do_ll & (j == nsnow), xm1_new, xm)
-    hm = jnp.where(do_ll & (j == nsnow), hm1_new, hm)
-    qmelt = jnp.where(do_ll, qmelt_ll, 0.0)
-    ponding = jnp.where(do_ll, ponding_ll, 0.0)
+    sneqv = sel(do_ll, sneqv_ll, sneqv)
+    snowh = sel(do_ll, snowh_ll, snowh)
+    xm = sel(band(do_ll, j == nsnow), xm1_new, xm)
+    hm = sel(band(do_ll, j == nsnow), hm1_new, hm)
+    qmelt = sel(do_ll, qmelt_ll, 0.0)
+    ponding = sel(do_ll, ponding_ll, 0.0)
 
     # per-layer melt/freeze adjustment (:6197-6233)
     engaged = (imelt > 0) & (jnp.abs(hm) > 0.0)
@@ -147,22 +149,22 @@ def phasechange(cfg, p, isnow, fact, dzsnso, stc, snice, snliq, sneqv,
     mice_melt = jnp.maximum(0.0, wice0 - xm)
     # freezing: xm < 0
     mice_frz_snow = jnp.minimum(wmass0, wice0 - xm)
-    mice_frz_soil = jnp.where(
+    mice_frz_soil = sel(
         wmass0 < supercool, 0.0,
         jnp.maximum(jnp.minimum(wmass0 - supercool, wice0 - xm), 0.0))
-    mice_frz = jnp.where(is_snow_layer, mice_frz_snow, mice_frz_soil)
-    mice_new = jnp.where(xm > 0.0, mice_melt,
-                         jnp.where(xm < 0.0, mice_frz, mice))
-    mice = jnp.where(engaged, mice_new, mice)
-    heatr = jnp.where(engaged, hm - C.HFUS * (wice0 - mice) / dt, 0.0)
-    mliq = jnp.where(engaged, jnp.maximum(0.0, wmass0 - mice), mliq)
+    mice_frz = sel(is_snow_layer, mice_frz_snow, mice_frz_soil)
+    mice_new = sel(xm > 0.0, mice_melt,
+                         sel(xm < 0.0, mice_frz, mice))
+    mice = sel(engaged, mice_new, mice)
+    heatr = sel(engaged, hm - C.HFUS * (wice0 - mice) / dt, 0.0)
+    mliq = sel(engaged, jnp.maximum(0.0, wmass0 - mice), mliq)
 
     adj = engaged & (jnp.abs(heatr) > 0.0)
-    stc = jnp.where(adj, stc + fact_s * heatr, stc)
-    stc = jnp.where(adj & is_snow_layer & (mliq * mice > 0.0), C.TFRZ, stc)
+    stc = sel(adj, stc + fact_s * heatr, stc)
+    stc = sel(band(adj, is_snow_layer, mliq * mice > 0.0), C.TFRZ, stc)
 
     qmelt = qmelt + jnp.sum(
-        jnp.where(engaged & is_snow_layer,
+        sel(band(engaged, is_snow_layer),
                   jnp.maximum(0.0, wice0 - mice) / dt, 0.0))
 
     snice_new = mice[:nsnow]

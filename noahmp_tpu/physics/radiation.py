@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from ..params.tables import OMEGAS, BETADS, BETAIS, ALBLAK
-from .common import MPE, sanitize
+from .common import MPE, sanitize, atan_tpu, sel
 
 
 def snow_age(dt, tg, sneqvo, sneqv, tauss):
@@ -31,7 +31,7 @@ def snow_age(dt, tg, sneqvo, sneqv, tauss):
     dela = dela0 * tage
     dels = jnp.maximum(0.0, sneqv - sneqvo) / C.SWEMX
     sge = (tauss + dela) * (1.0 - dels)
-    tauss_new = jnp.where((sneqv <= 0.0) | (sneqv > 800.0), 0.0,
+    tauss_new = sel((sneqv <= 0.0) | (sneqv > 800.0), 0.0,
                           jnp.maximum(0.0, sge))
     fage = tauss_new / (tauss_new + 1.0)
     return tauss_new, fage
@@ -53,7 +53,7 @@ def snowalb_class(qsnow, dt, albold):
     """CLASS snow albedo (SNOWALB_CLASS :2652-2701) ->
     (alb, albsnd, albsni)."""
     alb = 0.55 + (albold - 0.55) * jnp.exp(-0.01 * dt / 3600.0)
-    alb = jnp.where(qsnow > 0.0,
+    alb = sel(qsnow > 0.0,
                     alb + jnp.minimum(qsnow * dt, C.SWEMX) * (0.84 - alb) / C.SWEMX,
                     alb)
     ones = jnp.ones(2, dtype=alb.dtype)
@@ -73,8 +73,8 @@ def groundalb(p, ist, fsno, smc0, albsnd, albsni, cosz, tg, isc9=False):
     else:
         unfrozen = tg > C.TFRZ
         albsod_u = 0.06 / (jnp.maximum(0.01, cosz) ** 1.7 + 0.15) * jnp.ones(2)
-        albsod = jnp.where(unfrozen, albsod_u, jnp.asarray(ALBLAK))
-        albsoi = jnp.where(unfrozen, 0.06 * jnp.ones(2), albsod)
+        albsod = sel(unfrozen, albsod_u, jnp.asarray(ALBLAK))
+        albsoi = sel(unfrozen, 0.06 * jnp.ones(2), albsod)
     if isc9 and ist == 1:
         albsod = albsod + 0.10
         albsoi = albsoi + 0.10
@@ -110,7 +110,9 @@ def two_stream(cfg, p, ic: int, cosz, vai, fwet, tveg, albgr_d, albgr_i,
         denfveg = -jnp.log(jnp.maximum(1.0 - fveg, 0.01)) / (pai * rc ** 2)
         hd = p.hvt - p.hvb
         bb = 0.5 * hd
-        thetap = jnp.arctan(bb / rc * jnp.tan(jnp.arccos(jnp.maximum(0.01, cosz))))
+        coszc = jnp.maximum(0.01, cosz)
+        tan_acos = jnp.sqrt(jnp.maximum(1.0 - coszc * coszc, 0.0)) / coszc
+        thetap = atan_tpu(bb / rc * tan_acos)
         bgap = jnp.exp(-denfveg * pai * rc ** 2 / jnp.cos(thetap))
         fa = vai / jnp.maximum(1.33 * pai * rc ** 3 * (bb / rc) * denfveg, 1e-12)
         newvai = hd * fa
@@ -127,13 +129,13 @@ def two_stream(cfg, p, ic: int, cosz, vai, fwet, tveg, albgr_d, albgr_i,
         kopen = 1.0 - fveg
         bgap = jnp.zeros_like(cosz)
         wgap = jnp.zeros_like(cosz)
-    gap = jnp.where(has_vai, gap, 1.0)
-    kopen = jnp.where(has_vai, kopen, 1.0)
+    gap = sel(has_vai, gap, 1.0)
+    kopen = sel(has_vai, kopen, 1.0)
 
     # two-stream parameters (:2907-2925)
     coszi = jnp.maximum(0.001, cosz)
     chil = jnp.clip(p.xl, -0.4, 0.6)
-    chil = jnp.where(jnp.abs(chil) <= 0.01, 0.01, chil)
+    chil = sel(jnp.abs(chil) <= 0.01, 0.01, chil)
     phi1 = 0.5 - 0.633 * chil - 0.330 * chil * chil
     phi2 = 0.877 * (1.0 - 2.0 * phi1)
     gdir = phi1 + phi2 * coszi
@@ -152,9 +154,9 @@ def two_stream(cfg, p, ic: int, cosz, vai, fwet, tveg, albgr_d, albgr_i,
     om_sn = (1.0 - fwet) * omegal + fwet * omegas
     bd_sn = ((1.0 - fwet) * omegal * betadl + fwet * omegas * BETADS) / om_sn
     bi_sn = ((1.0 - fwet) * omegal * betail + fwet * omegas * BETAIS) / om_sn
-    omega = jnp.where(no_snow, omegal, om_sn)
-    betad = jnp.where(no_snow, betadl, bd_sn)
-    betai = jnp.where(no_snow, betail, bi_sn)
+    omega = sel(no_snow, omegal, om_sn)
+    betad = sel(no_snow, betadl, bd_sn)
+    betai = sel(no_snow, betail, bi_sn)
 
     # flux solution (:2943-2993)
     b = 1.0 - omega + omega * betai
@@ -165,8 +167,8 @@ def two_stream(cfg, p, ic: int, cosz, vai, fwet, tveg, albgr_d, albgr_i,
     tmp1 = jnp.maximum(b * b - c * c, 0.0)
     h = jnp.sqrt(tmp1) / avmu
     sigma = tmp0 * tmp0 - tmp1
-    sigma = jnp.where(jnp.abs(sigma) < 1.0e-6,
-                      jnp.where(sigma >= 0, 1.0e-6, -1.0e-6), sigma)
+    sigma = sel(jnp.abs(sigma) < 1.0e-6,
+                      sel(sigma >= 0, 1.0e-6, -1.0e-6), sigma)
     p1 = b + avmu * h
     p2 = b - avmu * h
     p3 = b + tmp0
@@ -270,10 +272,10 @@ def albedo(cfg, p, ist, ice, cosz, elai, esai, tg, tv, fsno, fwet,
     ext = tsd.gdir / jnp.maximum(cosz, 0.001) * jnp.sqrt(
         jnp.maximum(1.0 - rho[0] - tau[0], 0.0))
     fsun = (1.0 - jnp.exp(-jnp.minimum(ext * vai, 50.0))) / jnp.maximum(ext * vai, MPE)
-    fsun = jnp.where(fsun < 0.01, 0.0, fsun)
+    fsun = sel(fsun < 0.01, 0.0, fsun)
 
     def m(x):  # night masking
-        return jnp.where(day, x, jnp.zeros_like(x))
+        return sel(day, x, jnp.zeros_like(x))
 
     return AlbedoOut(
         albgrd=m(albgrd), albgri=m(albgri),
@@ -284,8 +286,8 @@ def albedo(cfg, p, ist, ice, cosz, elai, esai, tg, tv, fsno, fwet,
         frevd=m(tsd.frev), frevi=m(tsi.frev),
         fregd=m(tsd.freg), fregi=m(tsi.freg),
         bgap=m(tsd.bgap), wgap=m(tsd.wgap),
-        albold=jnp.where(day, albold_new, albold),
-        tauss=jnp.where(day, tauss_new, tauss),
+        albold=sel(day, albold_new, albold),
+        tauss=sel(day, tauss_new, tauss),
     )
 
 
@@ -336,8 +338,8 @@ def radiation(cfg, p, ist, ice, cosz, elai, esai, tg, tv, fsno, fwet,
     parsha_day = (fsha * cai[0]) * laifra / jnp.maximum(laisha, MPE)
     parsha_night = (cad[0] + cai[0]) * laifra / jnp.maximum(laisha, MPE)
     sunlit = a.fsun > 0.0
-    parsun = jnp.where(sunlit, parsun_day, 0.0)
-    parsha = jnp.where(sunlit, parsha_day, parsha_night)
+    parsun = sel(sunlit, parsun_day, 0.0)
+    parsha = sel(sunlit, parsha_day, parsha_night)
 
     fsr = jnp.sum(a.albd * solad + a.albi * solai)
     fsrv = jnp.sum(a.frevd * solad + a.frevi * solai)

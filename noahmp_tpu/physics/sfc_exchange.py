@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .. import constants as C
-from .common import MPE
+from .common import MPE, atan_tpu, sel
 
 
 class Sfcdif1State(NamedTuple):
@@ -61,39 +61,39 @@ def sfcdif1(it, s: Sfcdif1State, sfctmp, rhoair, h, qair, zlvl, zpd,
 
     tvir = (1.0 + 0.61 * qair) * sfctmp
     tmp1 = C.VKC * (C.GRAV / tvir) * h / (rhoair * C.CPAIR)
-    tmp1 = jnp.where(jnp.abs(tmp1) <= MPE, MPE, tmp1)
+    tmp1 = sel(jnp.abs(tmp1) <= MPE, MPE, tmp1)
     mol = -1.0 * s.fv ** 3 / tmp1
-    moz = jnp.where(first, 0.0, jnp.minimum(dz / mol, 1.0))
-    moz2 = jnp.where(first, 0.0, jnp.minimum((2.0 + z0h) / mol, 1.0))
-    fv = jnp.where(first, 0.0, s.fv)
+    moz = sel(first, 0.0, jnp.minimum(dz / mol, 1.0))
+    moz2 = sel(first, 0.0, jnp.minimum((2.0 + z0h) / mol, 1.0))
+    fv = sel(first, 0.0, s.fv)
 
-    mozsgn = s.mozsgn + jnp.where(mozold * moz < 0.0, 1, 0).astype(jnp.int32)
+    mozsgn = s.mozsgn + sel(mozold * moz < 0.0, 1, 0).astype(jnp.int32)
     latch = mozsgn >= 2
-    moz = jnp.where(latch, 0.0, moz)
-    moz2 = jnp.where(latch, 0.0, moz2)
-    fm = jnp.where(latch, 0.0, s.fm)
-    fh = jnp.where(latch, 0.0, s.fh)
-    fm2 = jnp.where(latch, 0.0, s.fm2)
-    fh2 = jnp.where(latch, 0.0, s.fh2)
+    moz = sel(latch, 0.0, moz)
+    moz2 = sel(latch, 0.0, moz2)
+    fm = sel(latch, 0.0, s.fm)
+    fh = sel(latch, 0.0, s.fh)
+    fm2 = sel(latch, 0.0, s.fm2)
+    fh2 = sel(latch, 0.0, s.fh2)
 
     # stability functions (:4155-4180)
     def psi(m):
         t1 = (1.0 - 16.0 * jnp.minimum(m, 0.0)) ** 0.25
         t2 = jnp.log((1.0 + t1 * t1) / 2.0)
         t3 = jnp.log((1.0 + t1) / 2.0)
-        fm_u = 2.0 * t3 + t2 - 2.0 * jnp.arctan(t1) + 1.5707963
+        fm_u = 2.0 * t3 + t2 - 2.0 * atan_tpu(t1) + 1.5707963
         fh_u = 2.0 * t2
         fm_s = -5.0 * m
-        return (jnp.where(m < 0.0, fm_u, fm_s),
-                jnp.where(m < 0.0, fh_u, fm_s))
+        return (sel(m < 0.0, fm_u, fm_s),
+                sel(m < 0.0, fh_u, fm_s))
 
     fmnew, fhnew = psi(moz)
     fm2new, fh2new = psi(moz2)
 
-    fm = jnp.where(first, fmnew, 0.5 * (fm + fmnew))
-    fh = jnp.where(first, fhnew, 0.5 * (fh + fhnew))
-    fm2 = jnp.where(first, fm2new, 0.5 * (fm2 + fm2new))
-    fh2 = jnp.where(first, fh2new, 0.5 * (fh2 + fh2new))
+    fm = sel(first, fmnew, 0.5 * (fm + fmnew))
+    fh = sel(first, fhnew, 0.5 * (fh + fhnew))
+    fm2 = sel(first, fm2new, 0.5 * (fm2 + fm2new))
+    fh2 = sel(first, fh2new, 0.5 * (fh2 + fh2new))
 
     fh = jnp.minimum(fh, 0.9 * tmpch)
     fm = jnp.minimum(fm, 0.9 * tmpcm)
@@ -101,7 +101,7 @@ def sfcdif1(it, s: Sfcdif1State, sfctmp, rhoair, h, qair, zlvl, zpd,
     fm2 = jnp.minimum(fm2, 0.9 * tmpcm2)
 
     def guard(x):
-        return jnp.where(jnp.abs(x) <= MPE, MPE, x)
+        return sel(jnp.abs(x) <= MPE, MPE, x)
 
     cmfm = guard(tmpcm - fm)
     chfh = guard(tmpch - fh)
@@ -131,14 +131,14 @@ def ragrb(it, vaie, rhoair, hg, tah, zpd, z0mg, z0hg, hcan, uc, z0h,
     (RAGRB :3960-4059)."""
     first = it == 0
     tmp1 = C.VKC * (C.GRAV / tah) * hg / (rhoair * C.CPAIR)
-    tmp1 = jnp.where(jnp.abs(tmp1) <= MPE, MPE, tmp1)
+    tmp1 = sel(jnp.abs(tmp1) <= MPE, MPE, tmp1)
     molg = -1.0 * fv ** 3 / tmp1
-    mozg = jnp.where(first, 0.0, jnp.minimum((zpd - z0mg) / molg, 1.0))
+    mozg = sel(first, 0.0, jnp.minimum((zpd - z0mg) / molg, 1.0))
 
-    fhgnew = jnp.where(mozg < 0.0,
+    fhgnew = sel(mozg < 0.0,
                        (1.0 - 15.0 * jnp.minimum(mozg, 0.0)) ** (-0.25),
                        1.0 + 4.7 * mozg)
-    fhg = jnp.where(first, fhgnew, 0.5 * (fhg_prev + fhgnew))
+    fhg = sel(first, fhgnew, 0.5 * (fhg_prev + fhgnew))
 
     cwpc = jnp.sqrt(jnp.maximum(cwp * vaie * hcan * fhg, 1.0e-12))
     tmp1 = jnp.exp(-cwpc * z0hg / hcan)

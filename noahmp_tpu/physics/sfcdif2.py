@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .common import atan_tpu, sel
+
 
 def sfcdif2(it, z0, thz0, thlm, sfcspd, czil, zlm, akms, akhs, rlmo,
             wstar2, ustar):
@@ -37,7 +39,7 @@ def sfcdif2(it, z0, thz0, thlm, sfcspd, czil, zlm, akms, akhs, rlmo,
     def pspmu(xx):
         return (-2.0 * jnp.log((xx + 1.0) * 0.5)
                 - jnp.log((xx * xx + 1.0) * 0.5)
-                + 2.0 * jnp.arctan(xx) - pihf)
+                + 2.0 * atan_tpu(xx) - pihf)
 
     def pspms(yy):
         return 5.0 * yy
@@ -57,13 +59,13 @@ def sfcdif2(it, z0, thz0, thlm, sfcspd, czil, zlm, akms, akhs, rlmo,
     btgh = btg * hpbl
 
     first = it == 0
-    wstar2_i = jnp.where(btgh * akhs * dthv != 0.0,
+    wstar2_i = sel(btgh * akhs * dthv != 0.0,
                          wwst2 * jnp.abs(btgh * akhs * dthv) ** (2.0 / 3.0),
                          0.0)
-    wstar2 = jnp.where(first, wstar2_i, wstar2)
+    wstar2 = sel(first, wstar2_i, wstar2)
     ustar_i = jnp.maximum(jnp.sqrt(akms * jnp.sqrt(du2 + wstar2)), epsust)
-    ustar = jnp.where(first, ustar_i, ustar)
-    rlmo = jnp.where(first, elfc * akhs * dthv / ustar ** 3, rlmo)
+    ustar = sel(first, ustar_i, ustar)
+    rlmo = sel(first, elfc * akhs * dthv / ustar ** 3, rlmo)
 
     zt = jnp.maximum(1.0e-6, jnp.exp(zilfc * jnp.sqrt(ustar * z0)) * z0)
     zslu = zlm + zu
@@ -91,8 +93,8 @@ def sfcdif2(it, z0, thz0, thlm, sfcspd, czil, zlm, akms, akhs, rlmo,
     simh_s = psphs(zetalt_s) - psphs(zetat) + rlogt
 
     unstable = rlmo < 0.0
-    simm = jnp.where(unstable, simm_u, simm_s)
-    simh = jnp.where(unstable, simh_u, simh_s)
+    simm = sel(unstable, simm_u, simm_s)
+    simh = sel(unstable, simh_u, simh_s)
 
     ustar = jnp.maximum(jnp.sqrt(akms * jnp.sqrt(du2 + wstar2)), epsust)
     zt = jnp.maximum(1.0e-6, jnp.exp(zilfc * jnp.sqrt(ustar * z0)) * z0)
@@ -102,7 +104,7 @@ def sfcdif2(it, z0, thz0, thlm, sfcspd, czil, zlm, akms, akhs, rlmo,
     akms = jnp.maximum(ustark / simm, cxch)
     akhs = jnp.maximum(ustark / simh, cxch)
 
-    wstar2 = jnp.where(btgh * akhs * dthv != 0.0,
+    wstar2 = sel(btgh * akhs * dthv != 0.0,
                        wwst2 * jnp.abs(btgh * akhs * dthv) ** (2.0 / 3.0),
                        0.0)
     rlmn = elfc * akhs * dthv / ustar ** 3

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import constants as C
+from .common import atan_tpu, sel
 
 # MODULE_SF_MYJSFC constants (module_sf_myjsfc.F90:28-57)
 EPSU2 = 1.0e-6
@@ -55,13 +56,13 @@ def _psi_myj(zeta):
     x = jnp.sqrt(jnp.sqrt(1.0 - 16.0 * zu))
     psim_u = (-2.0 * jnp.log((x + 1.0) / 2.0)
               - jnp.log((x * x + 1.0) / 2.0)
-              + 2.0 * jnp.arctan(x) - jnp.pi / 2.0)
+              + 2.0 * atan_tpu(x) - jnp.pi / 2.0)
     psih_u = -2.0 * jnp.log((x * x + 1.0) / 2.0)
     zs = jnp.maximum(zeta, 0.0)
     psi_s = 0.7 * zs + 0.75 * zs * (6.0 - 0.35 * zs) * jnp.exp(-0.35 * zs)
     neg = zeta < 0.0
-    return (jnp.where(neg, psim_u, psi_s),
-            jnp.where(neg, psih_u, psi_s))
+    return (sel(neg, psim_u, psi_s),
+            sel(neg, psih_u, psi_s))
 
 
 def sfcdif3(tsk, qs, psfc, pblh, z0, z0base, is_urban, sfcspd, thlow,
@@ -90,11 +91,11 @@ def sfcdif3(tsk, qs, psfc, pblh, z0, z0base, is_urban, sfcspd, thlow,
     rlogu = jnp.log(rzsu)
     zslt = zsl + zu
 
-    czil = jnp.where((iz0tlnd == 0) | is_urban, 0.1,
+    czil = sel((iz0tlnd == 0) | is_urban, 0.1,
                      10.0 ** (-0.40 * (z0 / 0.07)))
     zilfc = -czil * VKRM * SQVISC
-    zzil = jnp.where(dthv > 0.0,
-                     jnp.where(rib < RIC,
+    zzil = sel(dthv > 0.0,
+                     sel(rib < RIC,
                                zilfc * (1.0 + (rib / RIC) ** 2 * CZETMAX),
                                zilfc * (1.0 + CZETMAX)),
                      zilfc)
@@ -121,7 +122,7 @@ def sfcdif3(tsk, qs, psfc, pblh, z0, z0base, is_urban, sfcspd, thlow,
     akms = jnp.maximum(ustark / simm, cxchl)
     akhs = jnp.maximum(ustark / simh, cxchl)
 
-    wstar2 = jnp.where(dthv <= 0.0,
+    wstar2 = sel(dthv <= 0.0,
                        WWST2 * jnp.abs(btgh * akhs * dthv) ** (2.0 / 3.0),
                        0.0)
     ustar = jnp.maximum(jnp.sqrt(akms * jnp.sqrt(du2 + wstar2)), EPSUST)
@@ -146,7 +147,7 @@ def sfcdif4(ux, vx, t1d, p1d, psfcpa, pblh, dx, znt, tsk, qx, zlvl,
     rmol (1/L) and ust carried.  Returns (cm, chs, chs2, cqs2, rmol,
     ust, u10, v10).
     """
-    mol = jnp.where(jnp.abs(rmol) < 1.0e-10,
+    mol = sel(jnp.abs(rmol) < 1.0e-10,
                     jnp.sign(rmol + 1e-30) * 1.0e10, 1.0 / rmol)
     zl = 0.01
     psfc = psfcpa / 1000.0
@@ -158,7 +159,7 @@ def sfcdif4(ux, vx, t1d, p1d, psfcpa, pblh, dx, znt, tsk, qx, zlvl,
     tvir = t1d * (1.0 + EP_1 * qx)
 
     e1 = SVP1 * jnp.exp(SVP2 * (tgdsa - SVPT0) / (tgdsa - SVP3))
-    qsfc = jnp.where(qsfc <= 0.0, EP_2 * e1 / (psfc - e1), qsfc)
+    qsfc = sel(qsfc <= 0.0, EP_2 * e1 / (psfc - e1), qsfc)
 
     za = zlvl
     rhox = psfc * 1000.0 / (R_D * tvir)
@@ -176,7 +177,7 @@ def sfcdif4(ux, vx, t1d, p1d, psfcpa, pblh, dx, znt, tsk, qx, zlvl,
     vsgd = 0.32 * jnp.maximum(dx / 5000.0 - 1.0, 0.0) ** (1.0 / 3.0)
     wspd = jnp.maximum(jnp.sqrt(wspd0 ** 2 + vconv ** 2 + vsgd ** 2), 0.1)
     br = govrth * za * dthvdz / (wspd * wspd)
-    br = jnp.where(mol < 0.0, jnp.minimum(br, 0.0), br)
+    br = sel(mol < 0.0, jnp.minimum(br, 0.0), br)
 
     # stability regimes (:4988-5070)
     low_ust = ust < 0.01
@@ -187,35 +188,35 @@ def sfcdif4(ux, vx, t1d, p1d, psfcpa, pblh, dx, znt, tsk, qx, zlvl,
     psim1 = jnp.maximum(-10.0 * gz1oz0, -10.0)
     psim10_1 = jnp.maximum(10.0 / za * psim1, -10.0)
     psim2_1 = jnp.maximum(2.0 / za * psim1, -10.0)
-    rmol1 = jnp.minimum(jnp.where(low_ust, zol_br, zol_mol), 9.999) / za
+    rmol1 = jnp.minimum(sel(low_ust, zol_br, zol_mol), 9.999) / za
 
     # regime 2: damped mechanical turbulence
     psim_2r = jnp.maximum(-5.0 * br * gz1oz0 / (1.1 - 5.0 * br), -10.0)
     psim10_2 = jnp.maximum(10.0 / za * psim_2r, -10.0)
     psim2_2 = jnp.maximum(2.0 / za * psim_2r, -10.0)
     zol2r = br * gz1oz0 / (1.00001 - 5.0 * br)
-    zol2r = jnp.where(zol2r > 0.5,
+    zol2r = sel(zol2r > 0.5,
                       jnp.minimum((1.89 * gz1oz0 + 44.2) * br * br
                                   + (1.18 * gz1oz0 - 1.37) * br, 9.999),
                       zol2r)
     rmol2 = zol2r / za
 
     # regime 3: forced convection
-    rmol3 = jnp.where(low_ust, zol_br, zol_mol) / za
+    rmol3 = sel(low_ust, zol_br, zol_mol) / za
 
     # regime 4: free convection (Dyer psi, analytic for the reference's
     # PSIMTB/PSIHTB tables, sfclayinit)
-    zol4 = jnp.clip(jnp.where(low_ust, zol_br, zol_mol), -9.9999, 0.0)
-    zol10 = jnp.clip(10.0 / za * jnp.where(low_ust, zol_br, zol_mol),
+    zol4 = jnp.clip(sel(low_ust, zol_br, zol_mol), -9.9999, 0.0)
+    zol10 = jnp.clip(10.0 / za * sel(low_ust, zol_br, zol_mol),
                      -9.9999, 0.0)
-    zol2_ = jnp.clip(2.0 / za * jnp.where(low_ust, zol_br, zol_mol),
+    zol2_ = jnp.clip(2.0 / za * sel(low_ust, zol_br, zol_mol),
                      -9.9999, 0.0)
 
     def dyer(zol):
         x = (1.0 - 16.0 * zol) ** 0.25
         psim = (2.0 * jnp.log(0.5 * (1.0 + x))
                 + jnp.log(0.5 * (1.0 + x * x))
-                - 2.0 * jnp.arctan(x) + 2.0 * jnp.arctan(1.0))
+                - 2.0 * atan_tpu(x) + 2.0 * 0.78539816)
         y = jnp.sqrt(1.0 - 16.0 * zol)
         psih = 2.0 * jnp.log(0.5 * (1.0 + y))
         return psim, psih
@@ -235,7 +236,7 @@ def sfcdif4(ux, vx, t1d, p1d, psfcpa, pblh, dx, znt, tsk, qx, zlvl,
     r3 = br == 0.0
 
     def pick(v1, v2, v3, v4):
-        return jnp.where(r1, v1, jnp.where(r2, v2, jnp.where(r3, v3, v4)))
+        return sel(r1, v1, sel(r2, v2, sel(r3, v3, v4)))
 
     psim = pick(psim1, psim_2r, 0.0, psim4)
     psih = pick(psim1, psim_2r, 0.0, psih4)

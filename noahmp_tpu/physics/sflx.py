@@ -20,7 +20,7 @@ from .. import constants as C
 from ..state.state import ColumnState, Forcing
 from ..utils.pytree import replace
 from .atm import atm, phenology, compute_fveg
-from .common import dzsnso_from_zsnso
+from .common import dzsnso_from_zsnso, sel
 from .energy import energy
 from .water import water
 from .carbon import carbon
@@ -164,10 +164,10 @@ def noahmp_sflx(cfg, p, s: ColumnState, f: Forcing, ist=1, ice=0):
     npp = jnp.zeros_like(s.tg)
     if cfg.run_carbon:
         troot = jnp.sum(
-            jnp.where(jnp.arange(nsoil) < p.nroot,
+            sel(jnp.arange(nsoil) < p.nroot,
                       w.stc[nsnow:] * dzsnso[nsnow:], 0.0)
         ) / jnp.maximum(
-            jnp.sum(jnp.where(jnp.arange(nsoil) < p.nroot,
+            jnp.sum(sel(jnp.arange(nsoil) < p.nroot,
                               dzsnso[nsnow:], 0.0)), 1e-6)
         cb = carbon(cfg, p, w.stc[nsnow:], w.smc, w.tv, en.tg, en.psn,
                     f.foln, en.btran, en.apar, fveg, ph.igs, troot,
@@ -191,15 +191,15 @@ def noahmp_sflx(cfg, p, s: ColumnState, f: Forcing, ist=1, ice=0):
 
     # urban qsfc fix (:929-933)
     qfx = w.etran + w.ecan + edir
-    qsfc = jnp.where(p.is_urban, qfx / a.rhoair * en.ch + a.qair,
+    qsfc = sel(p.is_urban, qfx / a.rhoair * en.ch + a.qair,
                      en.qsfc)
 
     # tiny-snow zeroing (:935-938)
     tiny = (w.snowh <= 1.0e-6) | (w.sneqv <= 1.0e-3)
-    snowh = jnp.where(tiny, 0.0, w.snowh)
-    sneqv = jnp.where(tiny, 0.0, w.sneqv)
+    snowh = sel(tiny, 0.0, w.snowh)
+    sneqv = sel(tiny, 0.0, w.sneqv)
 
-    albedo = jnp.where(a.swdown != 0.0, en.fsr / jnp.where(a.swdown != 0, a.swdown, 1.0),
+    albedo = sel(a.swdown != 0.0, en.fsr / sel(a.swdown != 0, a.swdown, 1.0),
                        -999.9)
 
     s_new = ColumnState(

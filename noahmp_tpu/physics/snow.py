@@ -20,7 +20,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .. import constants as C
-from .common import sanitize
+from .common import (sanitize, take1, put1, add1, roll_to_front,
+                     cumsum_small, sel, band)
 
 DZMIN = (0.025, 0.025, 0.1)  # COMBINE minimum thicknesses (:7105)
 
@@ -51,15 +52,15 @@ def canwater(cfg, p, sfctmp, uu, vv, fcev, fctr, qprecc, qprecl, elai,
 
     # precipitation phase partition (:6709-6737)
     if cfg.opt_snf == 1:  # Jordan (1991)
-        fpice = jnp.where(
+        fpice = sel(
             sfctmp > C.TFRZ + 2.5, 0.0,
-            jnp.where(sfctmp <= C.TFRZ + 0.5, 1.0,
-                      jnp.where(sfctmp <= C.TFRZ + 2.0,
+            sel(sfctmp <= C.TFRZ + 0.5, 1.0,
+                      sel(sfctmp <= C.TFRZ + 2.0,
                                 1.0 - (-54.632 + 0.2 * sfctmp), 0.6)))
     elif cfg.opt_snf == 2:
-        fpice = jnp.where(sfctmp >= C.TFRZ + 2.2, 0.0, 1.0)
+        fpice = sel(sfctmp >= C.TFRZ + 2.2, 0.0, 1.0)
     else:
-        fpice = jnp.where(sfctmp >= C.TFRZ, 0.0, 1.0)
+        fpice = sel(sfctmp >= C.TFRZ, 0.0, 1.0)
 
     # fresh snow density, Hedstrom & Pomeroy 1998 (:6742)
     bdfall = jnp.minimum(120.0, 67.92 + 51.25 * jnp.exp((sfctmp - C.TFRZ) / 2.59))
@@ -67,7 +68,7 @@ def canwater(cfg, p, sfctmp, uu, vv, fcev, fctr, qprecc, qprecl, elai,
     ptot = qprecc + qprecl
     rain = ptot * (1.0 - fpice)
     snow = ptot * fpice
-    fp = jnp.where(ptot > 0.0, ptot / (10.0 * qprecc + qprecl), 0.0)
+    fp = sel(ptot > 0.0, ptot / (10.0 * qprecc + qprecl), 0.0)
 
     has_canopy = (elai + esai) > 0.0
 
@@ -78,23 +79,23 @@ def canwater(cfg, p, sfctmp, uu, vv, fcev, fctr, qprecc, qprecl, elai,
     qintr = jnp.minimum(qintr, (maxliq - canliq) / dt *
                         (1.0 - jnp.exp(-rain * dt / maxliq_s)))
     qintr = jnp.maximum(qintr, 0.0)
-    qintr = jnp.where(has_canopy, qintr, 0.0)
-    qdripr = jnp.where(has_canopy, fveg * rain - qintr, 0.0)
-    qthror = jnp.where(has_canopy, (1.0 - fveg) * rain, rain)
+    qintr = sel(has_canopy, qintr, 0.0)
+    qdripr = sel(has_canopy, fveg * rain - qintr, 0.0)
+    qthror = sel(has_canopy, (1.0 - fveg) * rain, rain)
 
     # ET partition by canopy phase (:6772-6784)
-    etran = jnp.where(frozen_canopy, jnp.maximum(fctr / C.HSUB, 0.0),
+    etran = sel(frozen_canopy, jnp.maximum(fctr / C.HSUB, 0.0),
                       jnp.maximum(fctr / C.HVAP, 0.0))
-    qevac = jnp.where(frozen_canopy, 0.0, jnp.maximum(fcev / C.HVAP, 0.0))
-    qdewc = jnp.where(frozen_canopy, 0.0,
+    qevac = sel(frozen_canopy, 0.0, jnp.maximum(fcev / C.HVAP, 0.0))
+    qdewc = sel(frozen_canopy, 0.0,
                       jnp.abs(jnp.minimum(fcev / C.HVAP, 0.0)))
-    qsubc = jnp.where(frozen_canopy, jnp.maximum(fcev / C.HSUB, 0.0), 0.0)
-    qfroc = jnp.where(frozen_canopy,
+    qsubc = sel(frozen_canopy, jnp.maximum(fcev / C.HSUB, 0.0), 0.0)
+    qfroc = sel(frozen_canopy,
                       jnp.abs(jnp.minimum(fcev / C.HSUB, 0.0)), 0.0)
 
     qevac = jnp.minimum(canliq / dt, qevac)
     canliq = jnp.maximum(0.0, canliq + (qintr + qdewc - qevac) * dt)
-    canliq = jnp.where(canliq <= 1.0e-6, 0.0, canliq)
+    canliq = sel(canliq <= 1.0e-6, 0.0, canliq)
 
     # snow interception (:6793-6810)
     maxsno = 6.6 * (0.27 + 46.0 / bdfall) * (elai + esai)
@@ -103,42 +104,42 @@ def canwater(cfg, p, sfctmp, uu, vv, fcev, fctr, qprecc, qprecl, elai,
     qints = jnp.minimum(qints, (maxsno - canice) / dt *
                         (1.0 - jnp.exp(-snow * dt / maxsno_s)))
     qints = jnp.maximum(qints, 0.0)
-    qints = jnp.where(has_canopy, qints, 0.0)
+    qints = sel(has_canopy, qints, 0.0)
     ft = jnp.maximum(0.0, (tv - 270.15) / 1.87e5)
     fv_unl = jnp.sqrt(uu * uu + vv * vv) / 1.56e5
-    qdrips = jnp.where(has_canopy, jnp.maximum(0.0, canice) * (fv_unl + ft), 0.0)
-    qthros = jnp.where(has_canopy,
+    qdrips = sel(has_canopy, jnp.maximum(0.0, canice) * (fv_unl + ft), 0.0)
+    qthros = sel(has_canopy,
                        (1.0 - fveg) * snow + (fveg * snow - qints), snow)
 
     qsubc = jnp.minimum(canice / dt, qsubc)
     canice = jnp.maximum(0.0, canice + (qints - qdrips) * dt
                          + (qfroc - qsubc) * dt)
-    canice = jnp.where(canice <= 1.0e-6, 0.0, canice)
+    canice = sel(canice <= 1.0e-6, 0.0, canice)
 
     # wetted fraction (:6816-6821)
-    fwet = jnp.where(canice > 0.0,
+    fwet = sel(canice > 0.0,
                      jnp.maximum(0.0, canice) / jnp.maximum(maxsno, 1.0e-6),
                      jnp.maximum(0.0, canliq) / jnp.maximum(maxliq, 1.0e-6))
     fwet = jnp.minimum(fwet, 1.0) ** 0.667
 
     # canopy phase change (:6825-6843)
     melt = (canice > 1.0e-6) & (tv > C.TFRZ)
-    qmeltc = jnp.where(melt,
+    qmeltc = sel(melt,
                        jnp.minimum(canice / dt,
                                    (tv - C.TFRZ) * C.CICE * canice / C.DENICE / (dt * C.HFUS)),
                        0.0)
     canice = jnp.maximum(0.0, canice - qmeltc * dt)
     canliq = jnp.maximum(0.0, canliq + qmeltc * dt)
-    tv = jnp.where(melt, fwet * C.TFRZ + (1.0 - fwet) * tv, tv)
+    tv = sel(melt, fwet * C.TFRZ + (1.0 - fwet) * tv, tv)
 
     frz = (canliq > 1.0e-6) & (tv < C.TFRZ)
-    qfrzc = jnp.where(frz,
+    qfrzc = sel(frz,
                       jnp.minimum(canliq / dt,
                                   (C.TFRZ - tv) * C.CWAT * canliq / C.DENH2O / (dt * C.HFUS)),
                       0.0)
     canliq = jnp.maximum(0.0, canliq - qfrzc * dt)
     canice = jnp.maximum(0.0, canice + qfrzc * dt)
-    tv = jnp.where(frz, fwet * C.TFRZ + (1.0 - fwet) * tv, tv)
+    tv = sel(frz, fwet * C.TFRZ + (1.0 - fwet) * tv, tv)
 
     cmc = canliq + canice
     ecan = qevac + qsubc - qdewc - qfroc
@@ -147,8 +148,8 @@ def canwater(cfg, p, sfctmp, uu, vv, fcev, fctr, qprecc, qprecl, elai,
     snowhin = qsnow / bdfall
     if ist == 2:
         lake_warm = tg > C.TFRZ
-        qsnow = jnp.where(lake_warm, 0.0, qsnow)
-        snowhin = jnp.where(lake_warm, 0.0, snowhin)
+        qsnow = sel(lake_warm, 0.0, qsnow)
+        snowhin = sel(lake_warm, 0.0, snowhin)
 
     return CanWaterOut(canliq, canice, tv, cmc, ecan, etran, qrain,
                        qsnow, snowhin, fwet, fpice)
@@ -169,8 +170,8 @@ def _combo(dz1, wliq1, wice1, t1, dz2, wliq2, wice2, t2):
     hc = h + h2
     cden = sanitize(C.CICE * wicec + C.CWAT * wliqc,
                     (wicec + wliqc) > 0, 1.0)
-    tc = jnp.where(hc < 0.0, C.TFRZ + hc / cden,
-                   jnp.where(hc <= C.HFUS * wliqc, C.TFRZ,
+    tc = sel(hc < 0.0, C.TFRZ + hc / cden,
+                   sel(hc <= C.HFUS * wliqc, C.TFRZ,
                              C.TFRZ + (hc - C.HFUS * wliqc) / cden))
     return dzc, wliqc, wicec, tc
 
@@ -179,7 +180,7 @@ def _shift_down(x, lo, hi):
     """x[i] <- x[i-1] for lo <= i <= hi (traced lo, static hi)."""
     shifted = jnp.concatenate([x[:1], x[:-1]])
     idx = jnp.arange(x.shape[0])
-    return jnp.where((idx >= lo) & (idx <= hi), shifted, x)
+    return sel(band(idx >= lo, idx <= hi), shifted, x)
 
 
 class SnowPack(NamedTuple):
@@ -211,54 +212,54 @@ def combine(cfg, pk: SnowPack) -> SnowPack:
         top = isnow + nsnow
         thin = (isnow < 0) & (j >= top) & (snice[j] <= 0.1)
         if j < nsnow - 1:
-            snliq = snliq.at[j + 1].add(jnp.where(thin, snliq[j], 0.0))
-            snice = snice.at[j + 1].add(jnp.where(thin, snice[j], 0.0))
+            snliq = add1(snliq, j + 1, sel(thin, snliq[j], 0.0))
+            snice = add1(snice, j + 1, sel(thin, snice[j], 0.0))
         else:
             up = thin & (isnow_old < -1)
-            snliq = snliq.at[j - 1].add(jnp.where(up, snliq[j], 0.0))
-            snice = snice.at[j - 1].add(jnp.where(up, snice[j], 0.0))
+            snliq = add1(snliq, j - 1, sel(up, snliq[j], 0.0))
+            snice = add1(snice, j - 1, sel(up, snice[j], 0.0))
             # single thin layer -> layerless snow (:7118-7139)
             single = thin & ~(isnow_old < -1)
             pos = single & (snice[j] >= 0.0)
             neg = single & (snice[j] < 0.0)
-            ponding1 = jnp.where(pos, ponding1 + snliq[j], ponding1)
-            sneqv = jnp.where(pos, snice[j], jnp.where(neg, 0.0, sneqv))
-            snowh = jnp.where(pos, dz_sn[j], jnp.where(neg, 0.0, snowh))
+            ponding1 = sel(pos, ponding1 + snliq[j], ponding1)
+            sneqv = sel(pos, snice[j], sel(neg, 0.0, sneqv))
+            snowh = sel(pos, dz_sn[j], sel(neg, 0.0, snowh))
             pond_neg = snliq[j] + snice[j]
-            sice = sice.at[0].set(jnp.where(
+            sice = put1(sice, 0, sel(
                 neg & (pond_neg < 0.0),
                 jnp.maximum(0.0, sice[0] + pond_neg / (dz_soil1 * 1000.0)),
                 sice[0]))
-            ponding1 = jnp.where(neg & (pond_neg >= 0.0),
+            ponding1 = sel(neg & (pond_neg >= 0.0),
                                  ponding1 + pond_neg, ponding1)
-            snliq = snliq.at[j].set(jnp.where(single, 0.0, snliq[j]))
-            snice = snice.at[j].set(jnp.where(single, 0.0, snice[j]))
-            dz_sn = dz_sn.at[j].set(jnp.where(single, 0.0, dz_sn[j]))
+            snliq = put1(snliq, j, sel(single, 0.0, snliq[j]))
+            snice = put1(snice, j, sel(single, 0.0, snice[j]))
+            dz_sn = put1(dz_sn, j, sel(single, 0.0, dz_sn[j]))
         # shift layers above down by one (:7142-7149)
         do_shift = thin & (j > top) & (isnow < -1)
-        stc_sn = jnp.where(do_shift, _shift_down(stc_sn, top + 1, j), stc_sn)
-        snliq = jnp.where(do_shift, _shift_down(snliq, top + 1, j), snliq)
-        snice = jnp.where(do_shift, _shift_down(snice, top + 1, j), snice)
-        dz_sn = jnp.where(do_shift, _shift_down(dz_sn, top + 1, j), dz_sn)
+        stc_sn = sel(do_shift, _shift_down(stc_sn, top + 1, j), stc_sn)
+        snliq = sel(do_shift, _shift_down(snliq, top + 1, j), snliq)
+        snice = sel(do_shift, _shift_down(snice, top + 1, j), snice)
+        dz_sn = sel(do_shift, _shift_down(dz_sn, top + 1, j), dz_sn)
         isnow = isnow + thin.astype(jnp.int32)
 
     # over-sublimation guard (:7155-7158)
-    sh2o = sh2o.at[0].add(jnp.minimum(sice[0], 0.0))
-    sice = sice.at[0].set(jnp.maximum(sice[0], 0.0))
+    sh2o = add1(sh2o, 0, jnp.minimum(sice[0], 0.0))
+    sice = put1(sice, 0, jnp.maximum(sice[0], 0.0))
 
     multi = isnow < 0
     act = jnp.arange(nsnow) >= (isnow + nsnow)
-    zwice = jnp.sum(jnp.where(act, snice, 0.0))
-    zwliq = jnp.sum(jnp.where(act, snliq, 0.0))
-    sneqv = jnp.where(multi, zwice + zwliq, sneqv)
-    snowh = jnp.where(multi, jnp.sum(jnp.where(act, dz_sn, 0.0)), snowh)
+    zwice = jnp.sum(sel(act, snice, 0.0))
+    zwliq = jnp.sum(sel(act, snliq, 0.0))
+    sneqv = sel(multi, zwice + zwliq, sneqv)
+    snowh = sel(multi, jnp.sum(sel(act, dz_sn, 0.0)), snowh)
 
     # total depth below threshold -> layerless (:7177-7183)
     collapse = multi & (snowh < 0.025)
-    isnow = jnp.where(collapse, 0, isnow)
-    sneqv = jnp.where(collapse, zwice, sneqv)
-    ponding2 = jnp.where(collapse, ponding2 + zwliq, ponding2)
-    snowh = jnp.where(collapse & (sneqv <= 0.0), 0.0, snowh)
+    isnow = sel(collapse, 0, isnow)
+    sneqv = sel(collapse, zwice, sneqv)
+    ponding2 = sel(collapse, ponding2 + zwliq, ponding2)
+    snowh = sel(collapse & (sneqv <= 0.0), 0.0, snowh)
 
     # --- pass 2: enforce minimum thicknesses (:7187-7244) ---
     isnow_entry = isnow
@@ -268,7 +269,7 @@ def combine(cfg, pk: SnowPack) -> SnowPack:
     for j in range(nsnow):
         top = isnow + nsnow
         examine = (~exited) & (j >= isnow_entry + nsnow)
-        dzmin_j = jnp.take(dzmin, mssi - 1, mode="clip")
+        dzmin_j = take1(dzmin, mssi - 1)
         small = examine & (dz_sn[j] < dzmin_j)
         # neighbor choice (:7203-7210); ll = jj-1 always
         if j == 0:
@@ -278,26 +279,26 @@ def combine(cfg, pk: SnowPack) -> SnowPack:
         else:
             is_top = j == top
             prefer_up = (dz_sn[j - 1] + dz_sn[j]) < (dz_sn[j + 1] + dz_sn[j])
-            neib_gt = jnp.where(is_top, True, ~prefer_up)
-        jj = jnp.where(neib_gt, j + 1, j)
+            neib_gt = sel(is_top, True, ~prefer_up)
+        jj = sel(neib_gt, j + 1, j)
         jj = jnp.minimum(jj, nsnow - 1)
-        g = lambda a, i: jnp.take(a, i, mode="clip")
+        g = take1
         dzc, wliqc, wicec, tc = _combo(
             g(dz_sn, jj), g(snliq, jj), g(snice, jj), g(stc_sn, jj),
             g(dz_sn, jj - 1), g(snliq, jj - 1), g(snice, jj - 1),
             g(stc_sn, jj - 1))
-        dz_sn = jnp.where(small, dz_sn.at[jj].set(dzc), dz_sn)
-        snliq = jnp.where(small, snliq.at[jj].set(wliqc), snliq)
-        snice = jnp.where(small, snice.at[jj].set(wicec), snice)
-        stc_sn = jnp.where(small, stc_sn.at[jj].set(tc), stc_sn)
+        dz_sn = sel(small, put1(dz_sn, jj, dzc), dz_sn)
+        snliq = sel(small, put1(snliq, jj, wliqc), snliq)
+        snice = sel(small, put1(snice, jj, wicec), snice)
+        stc_sn = sel(small, put1(stc_sn, jj, tc), stc_sn)
         # shift above jj-1 down one (:7225-7232); hi bound jj-1 is traced
         sh = small & ((jj - 1) > top)
         idx = jnp.arange(nsnow)
 
         def shift_tr(x):
             shifted = jnp.concatenate([x[:1], x[:-1]])
-            return jnp.where(sh & (idx >= top + 1) & (idx <= jj - 1),
-                             shifted, x)
+            return sel(band(sh, idx >= top + 1, idx <= jj - 1),
+                       shifted, x)
 
         stc_sn = shift_tr(stc_sn)
         snice = shift_tr(snice)
@@ -305,7 +306,7 @@ def combine(cfg, pk: SnowPack) -> SnowPack:
         dz_sn = shift_tr(dz_sn)
         isnow = isnow + small.astype(jnp.int32)
         exited = exited | (isnow >= -1)
-        mssi = jnp.where(examine & ~small, mssi + 1, mssi)
+        mssi = sel(examine & ~small, mssi + 1, mssi)
 
     return SnowPack(isnow, snice, snliq, stc_sn, dz_sn, sneqv, snowh,
                     sice, sh2o, ponding1, ponding2)
@@ -320,7 +321,7 @@ def divide(cfg, pk: SnowPack) -> SnowPack:
 
     # local top-aligned views: local[k] = arr[top+k]
     def to_local(x):
-        return jnp.roll(x, -top)
+        return roll_to_front(x, top)
 
     dz = to_local(pk.dz_sn)
     swice = to_local(pk.snice)
@@ -330,11 +331,11 @@ def divide(cfg, pk: SnowPack) -> SnowPack:
 
     # MSNO==1 split (:7300-7311)
     a = multi & (msno == 1) & (dz[0] > 0.05)
-    dz = jnp.where(a, dz.at[0].set(dz[0] / 2).at[1].set(dz[0] / 2), dz)
-    swice = jnp.where(a, swice.at[0].set(swice[0] / 2).at[1].set(swice[0] / 2), swice)
-    swliq = jnp.where(a, swliq.at[0].set(swliq[0] / 2).at[1].set(swliq[0] / 2), swliq)
-    tsno = jnp.where(a, tsno.at[1].set(tsno[0]), tsno)
-    msno = jnp.where(a, 2, msno)
+    dz = sel(a, put1(put1(dz, 0, dz[0] / 2), 1, dz[0] / 2), dz)
+    swice = sel(a, put1(put1(swice, 0, swice[0] / 2), 1, swice[0] / 2), swice)
+    swliq = sel(a, put1(put1(swliq, 0, swliq[0] / 2), 1, swliq[0] / 2), swliq)
+    tsno = sel(a, put1(tsno, 1, tsno[0]), tsno)
+    msno = sel(a, 2, msno)
 
     # MSNO>1, top layer capped at 0.05 (:7313-7343)
     b = multi & (msno > 1) & (dz[0] > 0.05)
@@ -345,10 +346,10 @@ def divide(cfg, pk: SnowPack) -> SnowPack:
     prop2 = 0.05 / sanitize(dz[0], dz[0] > 0, 1.0)
     dzc, wliqc, wicec, tc = _combo(dz[1], swliq[1], swice[1], tsno[1],
                                    drr, zwliq, zwice, tsno[0])
-    dz = jnp.where(b, dz.at[0].set(0.05).at[1].set(dzc), dz)
-    swice = jnp.where(b, swice.at[0].set(prop2 * swice[0]).at[1].set(wicec), swice)
-    swliq = jnp.where(b, swliq.at[0].set(prop2 * swliq[0]).at[1].set(wliqc), swliq)
-    tsno = jnp.where(b, tsno.at[1].set(tc), tsno)
+    dz = sel(b, put1(put1(dz, 0, 0.05), 1, dzc), dz)
+    swice = sel(b, put1(put1(swice, 0, prop2 * swice[0]), 1, wicec), swice)
+    swliq = sel(b, put1(put1(swliq, 0, prop2 * swliq[0]), 1, wliqc), swliq)
+    tsno = sel(b, put1(tsno, 1, tc), tsno)
 
     # subdivide second layer (:7329-7342)
     c = b & (msno <= 2) & (dz[1] > 0.20)
@@ -356,13 +357,13 @@ def divide(cfg, pk: SnowPack) -> SnowPack:
     dz2h = dz[1] / 2.0
     t3 = tsno[1] - dtdz * dz2h / 2.0
     t3_ge = t3 >= C.TFRZ
-    new_t2 = jnp.where(t3_ge, tsno[1], tsno[1] + dtdz * dz2h / 2.0)
-    new_t3 = jnp.where(t3_ge, tsno[1], t3)
-    dz = jnp.where(c, dz.at[1].set(dz2h).at[2].set(dz2h), dz)
-    swice = jnp.where(c, swice.at[1].set(swice[1] / 2).at[2].set(swice[1] / 2), swice)
-    swliq = jnp.where(c, swliq.at[1].set(swliq[1] / 2).at[2].set(swliq[1] / 2), swliq)
-    tsno = jnp.where(c, tsno.at[1].set(new_t2).at[2].set(new_t3), tsno)
-    msno = jnp.where(c, 3, msno)
+    new_t2 = sel(t3_ge, tsno[1], tsno[1] + dtdz * dz2h / 2.0)
+    new_t3 = sel(t3_ge, tsno[1], t3)
+    dz = sel(c, put1(put1(dz, 1, dz2h), 2, dz2h), dz)
+    swice = sel(c, put1(put1(swice, 1, swice[1] / 2), 2, swice[1] / 2), swice)
+    swliq = sel(c, put1(put1(swliq, 1, swliq[1] / 2), 2, swliq[1] / 2), swliq)
+    tsno = sel(c, put1(put1(tsno, 1, new_t2), 2, new_t3), tsno)
+    msno = sel(c, 3, msno)
 
     # MSNO>2, second layer capped at 0.2 (:7345-7358)
     d = multi & (msno > 2) & (dz[1] > 0.2)
@@ -373,19 +374,19 @@ def divide(cfg, pk: SnowPack) -> SnowPack:
     propd2 = 0.2 / sanitize(dz[1], dz[1] > 0, 1.0)
     dzc3, wliqc3, wicec3, tc3 = _combo(dz[2], swliq[2], swice[2], tsno[2],
                                        drr2, zwliq2, zwice2, tsno[1])
-    dz = jnp.where(d, dz.at[1].set(0.2).at[2].set(dzc3), dz)
-    swice = jnp.where(d, swice.at[1].set(propd2 * swice[1]).at[2].set(wicec3), swice)
-    swliq = jnp.where(d, swliq.at[1].set(propd2 * swliq[1]).at[2].set(wliqc3), swliq)
-    tsno = jnp.where(d, tsno.at[2].set(tc3), tsno)
+    dz = sel(d, put1(put1(dz, 1, 0.2), 2, dzc3), dz)
+    swice = sel(d, put1(put1(swice, 1, propd2 * swice[1]), 2, wicec3), swice)
+    swliq = sel(d, put1(put1(swliq, 1, propd2 * swliq[1]), 2, wliqc3), swliq)
+    tsno = sel(d, put1(tsno, 2, tc3), tsno)
 
-    isnow_new = jnp.where(multi, -msno, isnow)
+    isnow_new = sel(multi, -msno, isnow)
     top_new = isnow_new + nsnow
     k = jnp.arange(nsnow)
     live = k < msno
 
     def back(xl, old):
-        xl = jnp.where(live, xl, 0.0)
-        return jnp.where(multi, jnp.roll(xl, top_new), old)
+        xl = sel(live, xl, 0.0)
+        return sel(multi, roll_to_front(xl, -top_new), old)
 
     return SnowPack(isnow_new, back(swice, pk.snice), back(swliq, pk.snliq),
                     back(tsno, pk.stc_sn), back(dz, pk.dz_sn), pk.sneqv,
@@ -414,20 +415,20 @@ def compact(cfg, pk: SnowPack, imelt_sn, ficeold, stc_sn_in=None) -> SnowPack:
     td = jnp.maximum(0.0, C.TFRZ - stc_sn)
     dexpf = jnp.exp(-c4 * td)
     ddz1 = -c3 * dexpf
-    ddz1 = jnp.where(bi > dm, ddz1 * jnp.exp(-46.0e-3 * (bi - dm)), ddz1)
-    ddz1 = jnp.where(snliq > 0.01 * dzs, ddz1 * c5, ddz1)
+    ddz1 = sel(bi > dm, ddz1 * jnp.exp(-46.0e-3 * (bi - dm)), ddz1)
+    ddz1 = sel(snliq > 0.01 * dzs, ddz1 * c5, ddz1)
 
     # burden: overlying snow mass (exclusive cumsum over active layers)
-    wx_act = jnp.where(act, wx, 0.0)
-    burden = jnp.cumsum(wx_act) - wx_act
+    wx_act = sel(act, wx, 0.0)
+    burden = cumsum_small(wx_act) - wx_act
     ddz2 = -(burden + 0.5 * wx) * jnp.exp(-0.08 * td - c2 * bi) / eta0
 
-    ddz3 = jnp.where(imelt_sn == 1,
+    ddz3 = sel(imelt_sn == 1,
                      -jnp.maximum(0.0, (ficeold - fice) / jnp.maximum(1.0e-6, ficeold)) / dt,
                      0.0)
 
     pdzdtc = jnp.maximum(-0.5, (ddz1 + ddz2 + ddz3) * dt)
-    dz_new = jnp.where(eligible, dz * (1.0 + pdzdtc), dz)
+    dz_new = sel(eligible, dz * (1.0 + pdzdtc), dz)
     return pk._replace(dz_sn=dz_new)
 
 
@@ -440,25 +441,25 @@ def snowfall(cfg, pk: SnowPack, qsnow, snowhin, sfctmp) -> SnowPack:
     snice, snliq, stc_sn, dz_sn = pk.snice, pk.snliq, pk.stc_sn, pk.dz_sn
 
     shallow = (isnow == 0) & (qsnow > 0.0)
-    snowh = jnp.where(shallow, snowh + snowhin * dt, snowh)
-    sneqv = jnp.where(shallow, sneqv + qsnow * dt, sneqv)
+    snowh = sel(shallow, snowh + snowhin * dt, snowh)
+    sneqv = sel(shallow, sneqv + qsnow * dt, sneqv)
 
     newnode = shallow & (snowh >= 0.025)
     bot = nsnow - 1
-    isnow = jnp.where(newnode, -1, isnow)
-    dz_sn = dz_sn.at[bot].set(jnp.where(newnode, snowh, dz_sn[bot]))
-    stc_sn = stc_sn.at[bot].set(jnp.where(newnode,
+    isnow = sel(newnode, -1, isnow)
+    dz_sn = put1(dz_sn, bot, sel(newnode, snowh, dz_sn[bot]))
+    stc_sn = put1(stc_sn, bot, sel(newnode,
                                           jnp.minimum(273.16, sfctmp),
                                           stc_sn[bot]))
-    snice = snice.at[bot].set(jnp.where(newnode, sneqv, snice[bot]))
-    snliq = snliq.at[bot].set(jnp.where(newnode, 0.0, snliq[bot]))
-    snowh = jnp.where(newnode, 0.0, snowh)
+    snice = put1(snice, bot, sel(newnode, sneqv, snice[bot]))
+    snliq = put1(snliq, bot, sel(newnode, 0.0, snliq[bot]))
+    snowh = sel(newnode, 0.0, snowh)
 
     # snow falling on existing layered pack (:7057-7060)
     layered = (isnow < 0) & ~newnode & (qsnow > 0.0)
     top = isnow + nsnow
-    snice = jnp.where(layered, snice.at[top].add(qsnow * dt), snice)
-    dz_sn = jnp.where(layered, dz_sn.at[top].add(snowhin * dt), dz_sn)
+    snice = sel(layered, add1(snice, top, qsnow * dt), snice)
+    dz_sn = sel(layered, add1(dz_sn, top, snowhin * dt), dz_sn)
 
     return pk._replace(isnow=isnow, snowh=snowh, sneqv=sneqv,
                        snice=snice, snliq=snliq, stc_sn=stc_sn,
@@ -477,48 +478,48 @@ def snowh2o(cfg, pk: SnowPack, qsnfro, qsnsub, qrain):
 
     # no snow at all: frost/sublimation exchanges with soil (:7593-7599)
     none = sneqv == 0.0
-    sice = sice.at[0].add(jnp.where(none, (qsnfro - qsnsub) * dt / (dz_soil1 * 1000.0), 0.0))
-    sh2o = sh2o.at[0].add(jnp.minimum(sice[0], 0.0))
-    sice = sice.at[0].set(jnp.maximum(sice[0], 0.0))
+    sice = add1(sice, 0, sel(none, (qsnfro - qsnsub) * dt / (dz_soil1 * 1000.0), 0.0))
+    sh2o = add1(sh2o, 0, jnp.minimum(sice[0], 0.0))
+    sice = put1(sice, 0, jnp.maximum(sice[0], 0.0))
 
     # shallow layerless snow (:7606-7620)
     shallow = (isnow == 0) & (sneqv > 0.0)
     temp = sanitize(sneqv, shallow, 1.0)
     sneqv_s = sneqv - qsnsub * dt + qsnfro * dt
     propor = sneqv_s / temp
-    snowh = jnp.where(shallow, jnp.maximum(0.0, propor * snowh), snowh)
-    sneqv = jnp.where(shallow, sneqv_s, sneqv)
+    snowh = sel(shallow, jnp.maximum(0.0, propor * snowh), snowh)
+    sneqv = sel(shallow, sneqv_s, sneqv)
     negv = shallow & (sneqv < 0.0)
-    sice = sice.at[0].add(jnp.where(negv, sneqv / (dz_soil1 * 1000.0), 0.0))
-    sneqv = jnp.where(negv, 0.0, sneqv)
-    snowh = jnp.where(negv, 0.0, snowh)
-    sh2o = sh2o.at[0].add(jnp.minimum(sice[0], 0.0))
-    sice = sice.at[0].set(jnp.maximum(sice[0], 0.0))
+    sice = add1(sice, 0, sel(negv, sneqv / (dz_soil1 * 1000.0), 0.0))
+    sneqv = sel(negv, 0.0, sneqv)
+    snowh = sel(negv, 0.0, snowh)
+    sh2o = add1(sh2o, 0, jnp.minimum(sice[0], 0.0))
+    sice = put1(sice, 0, jnp.maximum(sice[0], 0.0))
 
     tiny = (snowh <= 1.0e-8) | (sneqv <= 1.0e-6)
-    snowh = jnp.where(tiny, 0.0, snowh)
-    sneqv = jnp.where(tiny, 0.0, sneqv)
+    snowh = sel(tiny, 0.0, snowh)
+    sneqv = sel(tiny, 0.0, sneqv)
 
     # deep snow: top-layer sublimation (:7626-7643)
     deep = isnow < 0
     top = isnow + nsnow
-    wgdif = jnp.take(snice, top, mode="clip") - qsnsub * dt + qsnfro * dt
-    snice = jnp.where(deep, snice.at[top].set(wgdif), snice)
+    wgdif = take1(snice, top) - qsnsub * dt + qsnfro * dt
+    snice = sel(deep, put1(snice, top, wgdif), snice)
 
     pk2 = SnowPack(isnow, snice, snliq, pk.stc_sn, dz_sn, sneqv, snowh,
                    sice, sh2o, pk.ponding1, pk.ponding2)
     need_combine = deep & (wgdif < 1.0e-6)
     ck = combine(cfg, pk2)
-    pk2 = SnowPack(*[jnp.where(need_combine, a, b_)
+    pk2 = SnowPack(*[sel(need_combine, a, b_)
                      for a, b_ in zip(ck, pk2)])
     isnow, snice, snliq = pk2.isnow, pk2.snice, pk2.snliq
     dz_sn, sneqv, snowh = pk2.dz_sn, pk2.sneqv, pk2.snowh
     sice, sh2o = pk2.sice, pk2.sh2o
     deep = isnow < 0
     top = isnow + nsnow
-    snliq = jnp.where(deep,
-                      snliq.at[top].set(jnp.maximum(
-                          0.0, jnp.take(snliq, top, mode="clip") + qrain * dt)),
+    snliq = sel(deep,
+                      put1(snliq, top, jnp.maximum(
+                          0.0, take1(snliq, top) + qrain * dt)),
                       snliq)
 
     # percolation (:7650-7675)
@@ -532,21 +533,21 @@ def snowh2o(cfg, pk: SnowPack, qsnfro, qsnsub, qrain):
     qout = jnp.zeros((), snliq.dtype)
     for j in range(nsnow):
         on = act[j] & deep
-        snliq = snliq.at[j].add(jnp.where(on, qin, 0.0))
+        snliq = add1(snliq, j, sel(on, qin, 0.0))
         # reference uses VOL_LIQ computed before the loop (:7650-7657)
         if j < nsnow - 1:
             blocked = (epore[j] < 0.05) | (epore[j + 1] < 0.05)
             qo = jnp.maximum(0.0, (vol_liq[j] - C.SSI * epore[j]) * dz_sn[j])
             qo = jnp.minimum(qo, (1.0 - vol_ice[j + 1] - vol_liq[j + 1]) * dz_sn[j + 1])
-            qo = jnp.where(blocked, 0.0, qo)
+            qo = sel(blocked, 0.0, qo)
         else:
             qo = jnp.maximum(0.0, (vol_liq[j] - C.SSI * epore[j]) * dz_sn[j])
         qo = qo * 1000.0
-        snliq = snliq.at[j].add(jnp.where(on, -qo, 0.0))
-        qin = jnp.where(on, qo, qin)
-        qout = jnp.where(on, qo, qout)
+        snliq = add1(snliq, j, sel(on, -qo, 0.0))
+        qin = sel(on, qo, qin)
+        qout = sel(on, qo, qout)
 
-    qsnbot = jnp.where(deep, qout / dt, 0.0)
+    qsnbot = sel(deep, qout / dt, 0.0)
     pk3 = SnowPack(isnow, snice, snliq, pk2.stc_sn, dz_sn, sneqv, snowh,
                    sice, sh2o, pk2.ponding1, pk2.ponding2)
     return pk3, qsnbot
@@ -583,48 +584,48 @@ def snowwater(cfg, isnow, snice, snliq, stc, zsnso, dzsnso, sneqv,
 
     multi = pk.isnow < 0
     pc = compact(cfg, pk, imelt[:nsnow], ficeold)
-    pk = SnowPack(*[jnp.where(multi, a, b_) for a, b_ in zip(pc, pk)])
+    pk = SnowPack(*[sel(multi, a, b_) for a, b_ in zip(pc, pk)])
     cb = combine(cfg, pk)
-    pk = SnowPack(*[jnp.where(multi, a, b_) for a, b_ in zip(cb, pk)])
+    pk = SnowPack(*[sel(multi, a, b_) for a, b_ in zip(cb, pk)])
     multi = pk.isnow < 0
     dv = divide(cfg, pk)
-    pk = SnowPack(*[jnp.where(multi, a, b_) for a, b_ in zip(dv, pk)])
+    pk = SnowPack(*[sel(multi, a, b_) for a, b_ in zip(dv, pk)])
 
     pk, qsnbot = snowh2o(cfg, pk, qsnfro, qsnsub, qrain)
 
     # zero empty layers (:6949-6955)
     isnow = pk.isnow
     act = jnp.arange(nsnow) >= (isnow + nsnow)
-    snice = jnp.where(act, pk.snice, 0.0)
-    snliq = jnp.where(act, pk.snliq, 0.0)
-    stc_sn = jnp.where(act, pk.stc_sn, 0.0)
-    dz_sn = jnp.where(act, pk.dz_sn, 0.0)
+    snice = sel(act, pk.snice, 0.0)
+    snliq = sel(act, pk.snliq, 0.0)
+    stc_sn = sel(act, pk.stc_sn, 0.0)
+    dz_sn = sel(act, pk.dz_sn, 0.0)
     sneqv, snowh = pk.sneqv, pk.snowh
 
     # glacier equilibrium: shave SWE > 2000 mm (:6959-6965)
     bot = nsnow - 1
     over = sneqv > 2000.0
     bdsnow = snice[bot] / sanitize(dz_sn[bot], dz_sn[bot] > 0, 1.0)
-    snoflow_amt = jnp.where(over, sneqv - 2000.0, 0.0)
-    snice = snice.at[bot].add(-snoflow_amt)
-    dz_sn = dz_sn.at[bot].add(-snoflow_amt / sanitize(bdsnow, over, 1.0)
+    snoflow_amt = sel(over, sneqv - 2000.0, 0.0)
+    snice = add1(snice, bot, -snoflow_amt)
+    dz_sn = add1(dz_sn, bot, -snoflow_amt / sanitize(bdsnow, over, 1.0)
                               * over.astype(dz_sn.dtype))
     snoflow = snoflow_amt / dt
 
     # total SWE for layered snow (:6969-6974)
     multi = isnow < 0
-    sneqv = jnp.where(multi, jnp.sum(jnp.where(act, snice + snliq, 0.0)),
+    sneqv = sel(multi, jnp.sum(sel(act, snice + snliq, 0.0)),
                       sneqv)
 
     # rebuild zsnso / dzsnso (:6976-6994)
     zsoil = jnp.asarray(cfg.zsoil, stc.dtype)
     dzs_soil = jnp.asarray(cfg.dzs, stc.dtype)
-    cum = jnp.cumsum(jnp.where(act, dz_sn, 0.0))
-    z_sn = jnp.where(act, -(cum), 0.0)
-    snowdepth = cum[-1]
+    cum = cumsum_small(sel(act, dz_sn, 0.0))
+    z_sn = sel(act, -(cum), 0.0)
+    snowdepth = take1(cum, nsnow - 1)
     z_soil_off = zsoil - snowdepth
     zsnso_new = jnp.concatenate([z_sn, z_soil_off])
-    dzsnso_new = jnp.concatenate([jnp.where(act, dz_sn, 0.0), dzs_soil])
+    dzsnso_new = jnp.concatenate([sel(act, dz_sn, 0.0), dzs_soil])
 
     stc_new = jnp.concatenate([stc_sn, stc[nsnow:]])
 

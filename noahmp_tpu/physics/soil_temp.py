@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .common import sanitize, snso_layer_mask
+from .common import sanitize, snso_layer_mask, sel, band
 
 
 def tridiag_thomas(a, b, c, d):
@@ -63,7 +63,7 @@ def hrt(cfg, isnow, zsnso, stc, tbot, zbotsno, df, hcpct, ssoil, opt_stc,
     denom = sanitize((z_prev - zsnso) * hcpct, act, 1.0)
     # interface gradient formulas (:5873-5898); top row's z_prev=0 makes
     # the generic (z_prev - z_next) == Fortran's -ZSNSO(K+1) at the top.
-    temp1 = sanitize(z_prev - z_next, act & ~is_bot, 1.0)
+    temp1 = sanitize(z_prev - z_next, band(act, ~is_bot), 1.0)
     ddz = 2.0 / temp1
     dtsdz = 2.0 * (stc - stc_next) / temp1
     dtsdz_prev = jnp.concatenate([dtsdz[:1], dtsdz[:-1]])
@@ -79,22 +79,22 @@ def hrt(cfg, isnow, zsnso, stc, tbot, zbotsno, df, hcpct, ssoil, opt_stc,
     eflux_top = df * dtsdz - ssoil
     eflux_mid = df * dtsdz - df_prev * dtsdz_prev
     eflux_bot = -botflx - df_prev * dtsdz_prev
-    eflux = jnp.where(is_top, eflux_top,
-                      jnp.where(is_bot, eflux_bot, eflux_mid))
+    eflux = sel(is_top, eflux_top,
+                      sel(is_bot, eflux_bot, eflux_mid))
 
-    ai = jnp.where(is_top, 0.0, -df_prev * ddz_prev / denom)
-    ci = jnp.where(is_bot, 0.0, -df * ddz / denom)
+    ai = sel(is_top, 0.0, -df_prev * ddz_prev / denom)
+    ci = sel(is_bot, 0.0, -df * ddz / denom)
     if opt_stc == 1:
         bi_top = -ci
     else:
         z0sq = sanitize(0.5 * zsnso * zsnso * hcpct, act, 1.0)
         bi_top = -ci + df / z0sq
-    bi = jnp.where(is_top, bi_top, -(ai + ci))
+    bi = sel(is_top, bi_top, -(ai + ci))
     rhsts = eflux / (-denom)
 
     zero = jnp.zeros_like(ai)
-    return (jnp.where(act, ai, zero), jnp.where(act, bi, zero),
-            jnp.where(act, ci, zero), jnp.where(act, rhsts, zero), botflx)
+    return (sel(act, ai, zero), sel(act, bi, zero),
+            sel(act, ci, zero), sel(act, rhsts, zero), botflx)
 
 
 def tsnosoi(cfg, p, isnow, zsnso, dzsnso, stc, tbot, ssoil, df, hcpct,
@@ -115,4 +115,4 @@ def tsnosoi(cfg, p, isnow, zsnso, dzsnso, stc, tbot, ssoil, df, hcpct,
     d = rhsts * dt
     # inactive rows are identity with d=0 -> delta 0
     delta = tridiag_thomas(a, b, c, d)
-    return jnp.where(act, stc + delta, stc)
+    return sel(act, stc + delta, stc)

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from .common import sanitize
+from .common import (sanitize, take1, put1, add1, cumsum_small,
+                     first_true_idx, last_true_idx, sel)
 from .soil_temp import tridiag_thomas
 
 
@@ -32,7 +33,7 @@ def wdfcnd2(p, smc, sice):
     expon = p.bexp + 2.0
     wdf = p.dwsat * factr ** expon
     vkwgt = 1.0 / (1.0 + (500.0 * sice) ** 3.0)
-    wdf = jnp.where(sice > 0.0,
+    wdf = sel(sice > 0.0,
                     vkwgt * wdf + (1.0 - vkwgt) * p.dwsat * (0.2 / p.smcmax) ** expon,
                     wdf)
     wcnd = p.dksat * factr ** (2.0 * p.bexp + 3.0)
@@ -55,11 +56,17 @@ def zwteq(cfg, p, sh2o):
     # scan: first k where |wd2-wd1| <= 0.01 -> zwt = zfine(k)
     t = 1.0 + (zwt0 - zfine) / p.psisat
     incr = p.smcmax * (1.0 - jnp.maximum(t, 1e-6) ** (-1.0 / p.bexp)) * dzfine
-    wd2 = jnp.cumsum(incr)
+    # prefix sum via log-step doubling (kernel-safe; no cumsum prim)
+    wd2 = incr
+    shift = 1
+    while shift < nfine:
+        pad = jnp.zeros((shift,), wd2.dtype)
+        wd2 = wd2 + jnp.concatenate([pad, wd2[:-shift]])
+        shift *= 2
     hit = jnp.abs(wd2 - wd1) <= 0.01
-    first = jnp.argmax(hit)
     found = jnp.any(hit)
-    return jnp.where(found, zfine[first], zwt0)
+    first = first_true_idx(hit, 0)
+    return sel(found, take1(zfine, first), zwt0)
 
 
 def infil(cfg, p, sh2o, sice, sicemax, qinsur):
@@ -86,7 +93,7 @@ def infil(cfg, p, sh2o, sice, sicemax, qinsur):
         for m in range(jj + 1, cvfrz):
             k *= m
         s = s + (acrt ** (cvfrz - jj)) / float(k)
-    fcr = jnp.where(dice > 1.0e-2,
+    fcr = sel(dice > 1.0e-2,
                     1.0 - jnp.exp(-acrt) * s, 1.0)
     infmax = infmax * fcr
 
@@ -96,7 +103,7 @@ def infil(cfg, p, sh2o, sice, sicemax, qinsur):
     runsrf = jnp.maximum(0.0, qinsur - infmax)
     pddum = qinsur - runsrf
     nopcp = qinsur <= 0.0
-    return (jnp.where(nopcp, 0.0, pddum), jnp.where(nopcp, 0.0, runsrf))
+    return (sel(nopcp, 0.0, pddum), sel(nopcp, 0.0, runsrf))
 
 
 def srt(cfg, p, pddum, etrani, qseva, sh2o, smc, zwt, fcr, sicemax,
@@ -122,7 +129,7 @@ def srt(cfg, p, pddum, etrani, qseva, sh2o, smc, zwt, fcr, sicemax,
     smx_next = jnp.concatenate([smx[1:], smx[-1:]])
     denom = z_prev - zsoil
     temp1 = z_prev - z_next
-    temp1 = temp1.at[-1].set(2.0 * denom[-1])
+    temp1 = put1(temp1, -1, 2.0 * take1(denom, nsoil - 1))
     ddz = 2.0 / temp1
     dsmdz = 2.0 * (smx - smx_next) / temp1
 
@@ -137,9 +144,9 @@ def srt(cfg, p, pddum, etrani, qseva, sh2o, smc, zwt, fcr, sicemax,
         deep_wt = zwt < (zsoil[-1] - denom[-1])
         smxbot_interp = smx[-1] - (smx[-1] - smxwtd) * denom[-1] * 2.0 / (
             denom[-1] + zsoil[-1] - zwt)
-        smxbot = jnp.where(deep_wt, smxbot_interp, smxwtd)
+        smxbot = sel(deep_wt, smxbot_interp, smxwtd)
         dsmdz_bot = 2.0 * (smx[-1] - smxbot) / (2.0 * denom[-1])
-        dsmdz = dsmdz.at[-1].set(dsmdz_bot)
+        dsmdz = put1(dsmdz, -1, dsmdz_bot)
         qdrain = wdf[-1] * dsmdz_bot + wcnd[-1]
 
     wdf_prev = jnp.concatenate([wdf[:1], wdf[:-1]])
@@ -154,14 +161,14 @@ def srt(cfg, p, pddum, etrani, qseva, sh2o, smc, zwt, fcr, sicemax,
     wflux_mid = (wdf * dsmdz + wcnd - wdf_prev * dsmdz_prev
                  - wcnd_prev + etrani)
     wflux_bot = -(wdf_prev * dsmdz_prev) - wcnd_prev + etrani + qdrain
-    wflux = jnp.where(is_top, wflux_top,
-                      jnp.where(is_bot, wflux_bot, wflux_mid))
+    wflux = sel(is_top, wflux_top,
+                      sel(is_bot, wflux_bot, wflux_mid))
 
-    ai = jnp.where(is_top, 0.0, -wdf_prev * ddz_prev / denom)
+    ai = sel(is_top, 0.0, -wdf_prev * ddz_prev / denom)
     ci_top = -wdf * ddz / denom
-    bi = jnp.where(is_top, wdf * ddz / denom, 0.0)
-    ci = jnp.where(is_top, -bi, jnp.where(is_bot, 0.0, ci_top))
-    bi = jnp.where(is_top, bi, -(ai + ci))
+    bi = sel(is_top, wdf * ddz / denom, 0.0)
+    ci = sel(is_top, -bi, sel(is_bot, 0.0, ci_top))
+    bi = sel(is_top, bi, -(ai + ci))
     rhstt = wflux / (-denom)
     return rhstt, ai, bi, ci, qdrain, wcnd
 
@@ -192,24 +199,24 @@ def sstep(cfg, p, sh2o, smc, sice, zwt, rhstt, ai, bi, ci, dtfine,
         wplus_s = jnp.maximum(smcwtd_s - p.smcmax, 0.0) * dzs[-1]
         wminus_s = jnp.maximum(1.0e-4 - smcwtd_s, 0.0) * dzs[-1]
         smcwtd_s2 = jnp.clip(smcwtd_s, 1.0e-4, p.smcmax)
-        sh2o_s = sh2o.at[-1].add(wplus_s / dzs[-1])
+        sh2o_s = add1(sh2o, -1, wplus_s / dzs[-1])
         qdrain_s = qdrain - wplus_s / dtfine
         deeprech_s = deeprech - wminus_s
 
-        smcwtd = jnp.where(deep_wt, smcwtd, smcwtd_s2)
-        deeprech = jnp.where(deep_wt, deeprech_d, deeprech_s)
-        sh2o = jnp.where(deep_wt, sh2o, sh2o_s)
-        qdrain = jnp.where(deep_wt, qdrain, qdrain_s)
+        smcwtd = sel(deep_wt, smcwtd, smcwtd_s2)
+        deeprech = sel(deep_wt, deeprech_d, deeprech_s)
+        sh2o = sel(deep_wt, sh2o, sh2o_s)
+        qdrain = sel(deep_wt, qdrain, qdrain_s)
 
     # bottom-up saturation-excess bucket push (:8315-8325)
     for k in range(nsoil - 1, 0, -1):
         epore = jnp.maximum(1.0e-4, p.smcmax - sice[k])
         wp = jnp.maximum(sh2o[k] - epore, 0.0) * dzs[k]
-        sh2o = sh2o.at[k].set(jnp.minimum(epore, sh2o[k]))
-        sh2o = sh2o.at[k - 1].add(wp / dzs[k - 1])
+        sh2o = put1(sh2o, k, jnp.minimum(epore, sh2o[k]))
+        sh2o = add1(sh2o, k - 1, wp / dzs[k - 1])
     epore0 = jnp.maximum(1.0e-4, p.smcmax - sice[0])
     wplus = wplus + jnp.maximum(sh2o[0] - epore0, 0.0) * dzs[0]
-    sh2o = sh2o.at[0].set(jnp.minimum(epore0, sh2o[0]))
+    sh2o = put1(sh2o, 0, jnp.minimum(epore0, sh2o[0]))
     smc = sh2o + sice
     return sh2o, smc, smcwtd, qdrain, deeprech, wplus
 
@@ -254,7 +261,7 @@ def soilwater(cfg, p, qinsur, qseva, etrani, sice, sh2o, smc, zwt,
         runsub = (1.0 - fcrmax) * rsbmx * jnp.exp(-C.TIMEAN) * jnp.exp(-fff * zwt)
 
     # urban impermeable surface (:7796)
-    fcr = fcr.at[0].set(jnp.where(p.is_urban, 0.95, fcr[0]))
+    fcr = put1(fcr, 0, sel(p.is_urban, 0.95, fcr[0]))
 
     # surface runoff / infiltration partition (:7798-7846)
     if cfg.opt_run == 1:
@@ -264,11 +271,11 @@ def soilwater(cfg, p, qinsur, qseva, etrani, sice, sh2o, smc, zwt,
     elif cfg.opt_run == 2:
         fsat = C.FSATMX * jnp.exp(-0.5 * 2.0 * zwt)
     elif cfg.opt_run == 4:
-        dztot = jnp.cumsum(dzs)
+        dztot = cumsum_small(dzs)
         within = jnp.concatenate([jnp.ones((1,), bool),
                                   dztot[:-1] < 2.0])
-        smctot = jnp.sum(jnp.where(within, smc * dzs, 0.0))
-        dztot_c = jnp.sum(jnp.where(within, dzs, 0.0))
+        smctot = jnp.sum(sel(within, smc * dzs, 0.0))
+        dztot_c = jnp.sum(sel(within, dzs, 0.0))
         fsat = jnp.maximum(0.01, (smctot / dztot_c) / p.smcmax) ** 4.0
     else:
         fsat = jnp.zeros_like(zwt)
@@ -277,15 +284,15 @@ def soilwater(cfg, p, qinsur, qseva, etrani, sice, sh2o, smc, zwt,
         pddum, runsrf = infil(cfg, p, sh2o, sice, sicemax, qinsur)
     else:
         has_in = qinsur > 0.0
-        runsrf = jnp.where(has_in,
+        runsrf = sel(has_in,
                            qinsur * ((1.0 - fcr[0]) * fsat + fcr[0]), 0.0)
-        pddum = jnp.where(has_in, qinsur - runsrf, 0.0)
+        pddum = sel(has_in, qinsur - runsrf, 0.0)
 
     # sub-stepping (:7850-7878): NITER=3 (or 6) fine steps; run the max
     # 6 iterations with the last 3 masked when NITER==3.
     if cfg.opt_inf == 1:
         double_it = (pddum * dt) > (dzs[0] * p.smcmax)
-        niter = jnp.where(double_it, 6, 3)
+        niter = sel(double_it, 6, 3)
     else:
         niter = jnp.ones((), jnp.int32)
     dtfine = dt / niter.astype(sh2o.dtype)
@@ -302,7 +309,7 @@ def soilwater(cfg, p, qinsur, qseva, etrani, sice, sh2o, smc, zwt,
         (sh2o_n, smc_n, smcwtd_n, qdrain_n, deeprech_n,
          wplus) = sstep(cfg, p, sh2o, smc, sice, zwt, rhstt, ai, bi, ci,
                         dtfine, smcwtd, qdrain, deeprech)
-        u = lambda n, o: jnp.where(active, n, o)
+        u = lambda n, o: sel(active, n, o)
         return (u(sh2o_n, sh2o), u(smc_n, smc), u(smcwtd_n, smcwtd),
                 u(deeprech_n, deeprech), u(rsat + wplus, rsat),
                 u(qdrain_save + qdrain_n, qdrain_save), u(wcnd, wcnd_c))
@@ -327,11 +334,12 @@ def soilwater(cfg, p, qinsur, qseva, etrani, sice, sh2o, smc, zwt,
         mliq = sh2o * dzs * 1000.0
         watmin = 0.01
         for iz in range(nsoil - 1):
-            xs = jnp.where(mliq[iz] < 0.0, watmin - mliq[iz], 0.0)
-            mliq = mliq.at[iz].add(xs)
-            mliq = mliq.at[iz + 1].add(-xs)
-        xs = jnp.where(mliq[-1] < watmin, watmin - mliq[-1], 0.0)
-        mliq = mliq.at[-1].add(xs)
+            xs = sel(mliq[iz] < 0.0, watmin - mliq[iz], 0.0)
+            mliq = add1(mliq, iz, xs)
+            mliq = add1(mliq, iz + 1, -xs)
+        mliq_bot = take1(mliq, mliq.shape[0] - 1)
+        xs = sel(mliq_bot < watmin, watmin - mliq_bot, 0.0)
+        mliq = add1(mliq, -1, xs)
         runsub = runsub - xs / dt
         if cfg.opt_run == 5:
             deeprech = deeprech - xs * 1.0e-3
@@ -375,13 +383,15 @@ def groundwater(cfg, p, sice, stc, wcnd, fcrmax, sh2o, zwt, wa,
     # default NSOIL.  0-based iwt index:
     cand = jnp.arange(nsoil) + 1  # 1-based layer ids
     hit = deeper & (cand >= 2)
-    iwt1 = jnp.where(jnp.any(hit), jnp.argmax(hit) + 1 - 1, nsoil)  # 1-based
+    # IWT = (first hitting iz) - 1, or NSOIL when none (:8485-8491)
+    iwt1 = sel(jnp.any(hit),
+                     first_true_idx(hit, nsoil) + 1 - 1, nsoil)  # 1-based
     iwt = iwt1 - 1  # 0-based
 
     fff, rsbmx = 6.0, 5.0
     qdis = (1.0 - fcrmax) * rsbmx * jnp.exp(-C.TIMEAN) * jnp.exp(-fff * (zwt - 2.0))
 
-    g = lambda a: jnp.take(a, iwt, mode="clip")
+    g = lambda a: take1(a, iwt)
     s_node = jnp.clip(g(smc) / p.smcmax, 0.01, 1.0)
     smpfz = -p.psisat * 1000.0 * s_node ** (-p.bexp)
     smpfz = jnp.maximum(-120000.0, cmic * smpfz)
@@ -397,37 +407,39 @@ def groundwater(cfg, p, sice, stc, wcnd, fcrmax, sh2o, zwt, wa,
     at_bottom = iwt == (nsoil - 1)
     # water table within the aquifer (:8523-8532)
     wa_b = wa + (qin - qdis) * dt
-    zwt_b = (-zsoil[-1] + 25.0) - wa_b / 1000.0 / rous
-    mliq_b = mliq.at[-1].add(-qin * dt)
-    mliq_b = mliq_b.at[-1].add(jnp.maximum(0.0, wa_b - 5000.0))
+    zwt_b = (-float(cfg.zsoil[-1]) + 25.0) - wa_b / 1000.0 / rous
+    mliq_b = add1(mliq, -1, -qin * dt)
+    mliq_b = add1(mliq_b, -1, jnp.maximum(0.0, wa_b - 5000.0))
     wa_b2 = jnp.minimum(wa_b, 5000.0)
 
     # water table within soil layers (:8534-8552)
     near_bottom = iwt == (nsoil - 2)
-    zwt_n = -zsoil[-1] - (wt - rous * 1000.0 * 25.0) / epore[-1] / 1000.0
+    zwt_n = -float(cfg.zsoil[-1]) - (wt - rous * 1000.0 * 25.0) \
+        / take1(epore, nsoil - 1) / 1000.0
     fill = jnp.arange(nsoil) >= (iwt + 2)
-    ws = jnp.sum(jnp.where(fill, epore * dzmm, 0.0))
-    zwt_f = -jnp.take(zsoil, iwt + 1, mode="clip") - (
-        wt - rous * 1000.0 * 25.0 - ws) / jnp.take(epore, iwt + 1, mode="clip") / 1000.0
-    zwt_s = jnp.where(near_bottom, zwt_n, zwt_f)
+    ws = jnp.sum(sel(fill, epore * dzmm, 0.0))
+    zwt_f = -take1(zsoil, iwt + 1) - (
+        wt - rous * 1000.0 * 25.0 - ws) / take1(epore, iwt + 1) / 1000.0
+    zwt_s = sel(near_bottom, zwt_n, zwt_f)
     wtsub = jnp.sum(hk * dzmm)
     mliq_s = mliq - qdis * dt * hk * dzmm / jnp.maximum(wtsub, 1e-12)
 
-    wa = jnp.where(at_bottom, wa_b2, wa)
-    wt = jnp.where(at_bottom, wa_b, wt)
-    zwt = jnp.where(at_bottom, zwt_b, zwt_s)
-    mliq = jnp.where(at_bottom, mliq_b, mliq_s)
+    wa = sel(at_bottom, wa_b2, wa)
+    wt = sel(at_bottom, wa_b, wt)
+    zwt = sel(at_bottom, zwt_b, zwt_s)
+    mliq = sel(at_bottom, mliq_b, mliq_s)
 
     zwt = jnp.maximum(1.5, zwt)
 
     # WATMIN redistribution (:8556-8583)
     watmin = 0.01
     for iz in range(nsoil - 1):
-        xs = jnp.where(mliq[iz] < 0.0, watmin - mliq[iz], 0.0)
-        mliq = mliq.at[iz].add(xs)
-        mliq = mliq.at[iz + 1].add(-xs)
-    xs = jnp.where(mliq[-1] < watmin, watmin - mliq[-1], 0.0)
-    mliq = mliq.at[-1].add(xs)
+        xs = sel(mliq[iz] < 0.0, watmin - mliq[iz], 0.0)
+        mliq = add1(mliq, iz, xs)
+        mliq = add1(mliq, iz + 1, -xs)
+    mliq_bot = take1(mliq, mliq.shape[0] - 1)
+    xs = sel(mliq_bot < watmin, watmin - mliq_bot, 0.0)
+    mliq = add1(mliq, -1, xs)
     wa = wa - xs
     wt = wt - xs
 
@@ -460,10 +472,10 @@ def shallowwatertable(cfg, p, smceq, smc, wtd, smcwtd,
     # scan iz = nsoil..1: exit at first true; fortran leaves iz=0 if never
     idxs = jnp.arange(nsoil + 1)
     hits = cond & (idxs >= 1)
-    iwtd = jnp.where(jnp.any(hits), nsoil - jnp.argmax(hits[::-1]), 0)
+    iwtd = sel(jnp.any(hits), last_true_idx(hits, 0), 0)
     kwtd = iwtd + 1
 
-    g = lambda a, i: jnp.take(a, i, mode="clip")
+    g = take1
 
     in_layers = kwtd <= nsoil
     kk = jnp.minimum(kwtd, nsoil)      # 1-based layer id of wt layer
@@ -495,10 +507,10 @@ def shallowwatertable(cfg, p, smceq, smc, wtd, smcwtd,
     wtd_a2 = jnp.minimum(
         (smck_a * dz_a - smceq_a * zi_a + p.smcmax * zk_a) /
         jnp.maximum(p.smcmax - smceq_a, 1e-9), zi_a)
-    rech_a = jnp.where(go_a,
+    rech_a = sel(go_a,
                        rech_a1 - (wtd_a1 - wtd_a2) * (p.smcmax - smceq_a),
                        rech_a1)
-    wtd_a = jnp.where(go_a, wtd_a2, wtd_a1)
+    wtd_a = sel(go_a, wtd_a2, wtd_a1)
 
     # case B: wtd stays in layer (:8663-8668)
     wtd_b = jnp.minimum(
@@ -521,7 +533,7 @@ def shallowwatertable(cfg, p, smceq, smc, wtd, smcwtd,
     wtd_c2w = jnp.minimum(
         (smck_c * dz_c - smceq_c * zi_c + p.smcmax * zk_c) /
         jnp.maximum(p.smcmax - smceq_c, 1e-9), zi_c)
-    wtd_c2 = jnp.where(smck_c > smceq_c, wtd_c2w, zk_c)
+    wtd_c2 = sel(smck_c > smceq_c, wtd_c2w, zk_c)
     rech_c2 = rech_c1 - (wtd_c1 - wtd_c2) * (p.smcmax - smceq_c)
     # below resolved layers: fictitious deep layer (:8692-8703)
     smceqdeep = p.smcmax * (-p.psisat / (-p.psisat - dzs[-1])) ** (1.0 / p.bexp)
@@ -530,13 +542,13 @@ def shallowwatertable(cfg, p, smceq, smc, wtd, smcwtd,
          + p.smcmax * (zsoil0[-1] - dzs[-1])) /
         jnp.maximum(p.smcmax - smceqdeep, 1e-9), zsoil0[-1])
     rech_c3 = rech_c1 - (wtd_c1 - wtd_c3) * (p.smcmax - smceqdeep)
-    wtd_c = jnp.where(in2, wtd_c2, wtd_c3)
-    rech_c = jnp.where(in2, rech_c2, rech_c3)
+    wtd_c = sel(in2, wtd_c2, wtd_c3)
+    rech_c = sel(in2, rech_c2, rech_c3)
     iwtd_from_c = iwtd_c
 
-    wtd_in = jnp.where(wet, jnp.where(saturated, wtd_a, wtd_b), wtd_c)
-    rech_in = jnp.where(wet, jnp.where(saturated, rech_a, rech_b), rech_c)
-    iwtd_in = jnp.where(wet, jnp.where(saturated, iwtd_a, iwtd), iwtd_from_c)
+    wtd_in = sel(wet, sel(saturated, wtd_a, wtd_b), wtd_c)
+    rech_in = sel(wet, sel(saturated, rech_a, rech_b), rech_c)
+    iwtd_in = sel(wet, sel(saturated, iwtd_a, iwtd), iwtd_from_c)
 
     # deep case: wtd below resolved soil (:8708-8727)
     deep_zone = wtd >= (zsoil0[-1] - dzs[-1])
@@ -552,17 +564,17 @@ def shallowwatertable(cfg, p, smceq, smc, wtd, smcwtd,
     wtd_d2 = (zsoil0[-1] - dzs[-1]) - dzup
     rech_d2 = rech_d2a - (p.smcmax - smceqdeep_d) * dzup
     swd = smcwtd > smceqdeep_d
-    wtd_d = jnp.where(swd, wtd_d1, wtd_d2)
-    rech_d = jnp.where(swd, rech_d1, rech_d2)
-    smcwtd_d = jnp.where(swd, smcwtd, smceqdeep_d)
+    wtd_d = sel(swd, wtd_d1, wtd_d2)
+    rech_d = sel(swd, rech_d1, rech_d2)
+    smcwtd_d = sel(swd, smcwtd, smceqdeep_d)
 
     use_deep = (~in_layers) & deep_zone
-    wtd_new = jnp.where(in_layers, wtd_in, jnp.where(deep_zone, wtd_d, wtd))
-    rech_new = jnp.where(in_layers, rech_in,
-                         jnp.where(deep_zone, rech_d, 0.0))
-    smcwtd_new = jnp.where(use_deep, smcwtd_d, smcwtd)
-    iwtd_new = jnp.where(in_layers, iwtd_in, iwtd)
+    wtd_new = sel(in_layers, wtd_in, sel(deep_zone, wtd_d, wtd))
+    rech_new = sel(in_layers, rech_in,
+                         sel(deep_zone, rech_d, 0.0))
+    smcwtd_new = sel(use_deep, smcwtd_d, smcwtd)
+    iwtd_new = sel(in_layers, iwtd_in, iwtd)
 
-    smcwtd_new = jnp.where(iwtd_new < nsoil, p.smcmax, smcwtd_new)
+    smcwtd_new = sel(iwtd_new < nsoil, p.smcmax, smcwtd_new)
 
     return ShallowWTOut(smc, wtd_new, smcwtd_new, rech_new, qdrain)

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from .common import MPE
+from .common import MPE, sel
 
 
 def stomata(p, apar, foln, tv, ei, ea, sfctmp, sfcprs, o2, co2, igs,
@@ -52,9 +52,9 @@ def stomata(p, apar, foln, tv, ei, ea, sfctmp, sfcprs, o2, co2, igs,
         b = (p.mp * psn * sfcprs / cs + p.bp) * rlb - 1.0
         cc = -rlb
         disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * cc, 0.0))
-        q = jnp.where(b >= 0.0, -0.5 * (b + disc), -0.5 * (b - disc))
+        q = sel(b >= 0.0, -0.5 * (b + disc), -0.5 * (b - disc))
         r1 = q / a
-        r2 = cc / jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+        r2 = cc / sel(jnp.abs(q) < 1e-20, 1e-20, q)
         rs = jnp.maximum(r1, r2)
         fci = jnp.maximum(cs - psn * sfcprs * 1.65 * rs, 0.0)
         return fci, rs, psn
@@ -62,29 +62,36 @@ def stomata(p, apar, foln, tv, ei, ea, sfctmp, sfcprs, o2, co2, igs,
     cierr = 5.0e-2
 
     def body(i, carry):
+        # int32 `done` carry: Mosaic can't round-trip i1 loop state
         cihi, cilow, rs, psn, done = carry
         ci = 0.5 * (cihi + cilow)
         fci, rs_new, psn_new = ci2ci(ci)
-        rs = jnp.where(done, rs, rs_new)
-        psn = jnp.where(done, psn, psn_new)
+        was_done = done != 0
+        rs = sel(was_done, rs, rs_new)
+        psn = sel(was_done, psn, psn_new)
         conv = ((cihi - cilow) <= cierr) | (jnp.abs(fci - ci) <= MPE)
         go_up = fci > ci
-        cilow = jnp.where(done | conv, cilow, jnp.where(go_up, ci, cilow))
-        cihi = jnp.where(done | conv, cihi, jnp.where(go_up, cihi, ci))
-        done = done | conv
+        stop = was_done | conv
+        cilow = sel(stop, cilow, sel(go_up, ci, cilow))
+        cihi = sel(stop, cihi, sel(go_up, cihi, ci))
+        # latch via max, not select: a select with two splat operands
+        # makes Mosaic infer a replicated layout it can't relayout to
+        done = jnp.maximum(done, conv.astype(jnp.int32))
         return cihi, cilow, rs, psn, done
 
     cihi0 = 1.5 * co2
     cilow0 = jnp.zeros_like(co2)
     rs0 = rs_default / cf  # in s m2/umol units during iteration
     psn0 = jnp.zeros_like(co2)
-    done0 = jnp.zeros_like(co2, dtype=bool)
+    # data-dependent zero: a constant-splat int carry makes Mosaic pin
+    # the loop layout as replicated, which the tiled body can't match
+    done0 = (co2 * 0.0).astype(jnp.int32)
     _, _, rs, psn, _ = jax.lax.fori_loop(
         0, 20, body, (cihi0, cilow0, rs0, psn0, done0))
 
     rs = rs * cf
-    rs = jnp.where(no_light, rs_default, rs)
-    psn = jnp.where(no_light, 0.0, psn)
+    rs = sel(no_light, rs_default, rs)
+    psn = sel(no_light, 0.0, psn)
     return rs, psn
 
 

@@ -11,7 +11,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .. import constants as C
-from .common import snow_layer_mask, snso_layer_mask, sanitize
+from .common import snow_layer_mask, snso_layer_mask, sanitize, put1, sel
 
 
 class SnowThermal(NamedTuple):
@@ -37,9 +37,9 @@ def csnow(isnow, snice, snliq, dzsnso_snow, nsnow: int) -> SnowThermal:
     cvsno = C.CICE * snicev + C.CWAT * snliqv
     tksno = 3.2217e-6 * bdsnoi ** 2  # Stieglitz (Yen, 1965)
     z = jnp.zeros_like(snice)
-    return SnowThermal(jnp.where(act, tksno, z), jnp.where(act, cvsno, z),
-                       jnp.where(act, snicev, z), jnp.where(act, snliqv, z),
-                       jnp.where(act, epore, z))
+    return SnowThermal(sel(act, tksno, z), sel(act, cvsno, z),
+                       sel(act, snicev, z), sel(act, snliqv, z),
+                       sel(act, epore, z))
 
 
 def tdfcnd(p, smc, sh2o):
@@ -59,10 +59,10 @@ def tdfcnd(p, smc, sh2o):
     gammd = (1.0 - smcmax) * 2700.0
     thkdry = (0.135 * gammd + 64.7) / (2700.0 - 0.947 * gammd)
     frozen = (sh2o + 0.0005) < smc
-    ake_unfrozen = jnp.where(satratio > 0.1,
+    ake_unfrozen = sel(satratio > 0.1,
                              jnp.log10(jnp.maximum(satratio, 0.1)) + 1.0,
                              0.0)
-    ake = jnp.where(frozen, satratio, ake_unfrozen)
+    ake = sel(frozen, satratio, ake_unfrozen)
     return ake * (thksat - thkdry) + thkdry
 
 
@@ -90,19 +90,19 @@ def thermoprop(cfg, p, isnow, dzsnso, snowh, snice, snliq, smc, sh2o,
                   + (p.smcmax - smc) * C.CPAIR + sice * C.CICE)
     df_soil = tdfcnd(p, smc, sh2o)
     # urban override (:1913-1917)
-    df_soil = jnp.where(p.is_urban, 3.24, df_soil)
+    df_soil = sel(p.is_urban, 3.24, df_soil)
 
     if ist == 2:  # lake (:1926-1936)
         unfrozen = stc[nsnow:] > C.TFRZ
-        hcpct_soil = jnp.where(unfrozen, C.CWAT, C.CICE)
-        df_soil = jnp.where(unfrozen, C.TKWAT, C.TKICE)
+        hcpct_soil = sel(unfrozen, C.CWAT, C.CICE)
+        df_soil = sel(unfrozen, C.TKWAT, C.TKICE)
 
     df = jnp.concatenate([sn.tksno, df_soil])
     hcpct = jnp.concatenate([sn.cvsno, hcpct_soil])
 
     act = snso_layer_mask(isnow, nsnow, nsoil)
     dz_safe = sanitize(dzsnso, act, 1.0)
-    fact = jnp.where(act, cfg.dt / (hcpct * dz_safe), 0.0)
+    fact = sel(act, cfg.dt / (hcpct * dz_safe), 0.0)
 
     # snow/soil interface blending of first soil layer (:1948-1953)
     dz1 = dzsnso[nsnow]
@@ -110,7 +110,7 @@ def thermoprop(cfg, p, isnow, dzsnso, snowh, snice, snliq, smc, sh2o,
     dz0 = dzsnso[nsnow - 1]
     df0 = df[nsnow - 1]
     df1_snow = (df[nsnow] * dz1 + df0 * dz0) / jnp.maximum(dz0 + dz1, 1e-12)
-    df1 = jnp.where(isnow == 0, df1_nosnow, df1_snow)
-    df = df.at[nsnow].set(df1)
+    df1 = sel(isnow == 0, df1_nosnow, df1_snow)
+    df = put1(df, nsnow, df1)
 
     return ThermoProp(df, hcpct, sn.snicev, sn.snliqv, sn.epore, fact)

@@ -11,6 +11,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .. import constants as C
+from .common import put1, add1, sel
 from .snow import canwater, snowwater
 from .soil_water import soilwater, groundwater, shallowwatertable
 
@@ -72,9 +73,9 @@ def water(cfg, p, isnow, imelt, uu, vv, fcev, fctr, qprecc, qprecl,
 
     # sublimation/frost vs evap/dew partition (:6519-6529)
     has_snow = sneqv > 0.0
-    qsnsub = jnp.where(has_snow, jnp.minimum(qvap, sneqv / dt), 0.0)
+    qsnsub = sel(has_snow, jnp.minimum(qvap, sneqv / dt), 0.0)
     qseva = qvap - qsnsub
-    qsnfro = jnp.where(has_snow, qdew, 0.0)
+    qsnfro = sel(has_snow, qdew, 0.0)
     qsdew = qdew - qsnfro
 
     sw = snowwater(cfg, isnow, snice, snliq, stc, zsnso, dzsnso, sneqv,
@@ -86,19 +87,19 @@ def water(cfg, p, isnow, imelt, uu, vv, fcev, fctr, qprecc, qprecl,
 
     # frozen-ground dew/evap into surface ice (:6538-6546)
     dz1 = cfg.dzs[0]
-    sice0 = sice[0] + jnp.where(frozen_ground,
+    sice0 = sice[0] + sel(frozen_ground,
                                 (qsdew - qseva) * dt / (dz1 * 1000.0), 0.0)
-    qsdew = jnp.where(frozen_ground, 0.0, qsdew)
-    qseva_m = jnp.where(frozen_ground, 0.0, qseva)
-    sh2o = sh2o.at[0].add(jnp.minimum(sice0, 0.0) *
-                          jnp.where(frozen_ground, 1.0, 0.0))
-    sice = sice.at[0].set(jnp.where(frozen_ground,
+    qsdew = sel(frozen_ground, 0.0, qsdew)
+    qseva_m = sel(frozen_ground, 0.0, qseva)
+    sh2o = add1(sh2o, 0, jnp.minimum(sice0, 0.0) *
+                          sel(frozen_ground, 1.0, 0.0))
+    sice = put1(sice, 0, sel(frozen_ground,
                                     jnp.maximum(sice0, 0.0), sice[0]))
     qseva = qseva_m
 
     # total infiltration input (:6551-6558), m/s
     qinsur = (ponding + sw.ponding1 + sw.ponding2) / dt * 0.001
-    qinsur = qinsur + jnp.where(isnow == 0,
+    qinsur = qinsur + sel(isnow == 0,
                                 (sw.qsnbot + qsdew + cw.qrain) * 0.001,
                                 (sw.qsnbot + qsdew) * 0.001)
     qseva = qseva * 0.001
@@ -110,7 +111,7 @@ def water(cfg, p, isnow, imelt, uu, vv, fcev, fctr, qprecc, qprecl,
 
     if ist == 2:
         # lake water balance (:6571-6575)
-        runsrf = jnp.where(wslake >= WSLMAX, qinsur * 1000.0, 0.0)
+        runsrf = sel(wslake >= WSLMAX, qinsur * 1000.0, 0.0)
         wslake = wslake + (qinsur - qseva) * 1000.0 * dt - runsrf * dt
     else:
         so = soilwater(cfg, p, qinsur, qseva, etrani, sice, sh2o, smc,
@@ -133,7 +134,7 @@ def water(cfg, p, isnow, imelt, uu, vv, fcev, fctr, qprecc, qprecl,
                                     qdrain)
             smc, zwt, smcwtd = swt.smc, swt.wtd, swt.smcwtd
             rech = swt.rech
-            sh2o = sh2o.at[-1].set(smc[-1] - sice[-1])
+            sh2o = put1(sh2o, -1, smc[-1] - sice[-1])
             runsub = runsub + swt.qdrain
             wa = jnp.zeros_like(wa)
 
