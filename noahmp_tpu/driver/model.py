@@ -62,6 +62,13 @@ class LandModel:
         """land_driver_init (:89-306)."""
         dom = ncio.read_domain(rs.const_file)
         n = dom.ny * dom.nx
+        # the domain file's MMINLU attribute picks the landuse scheme
+        # (module_hrldas_netcdf_io.F90:239); namelist is the fallback
+        if dom.llanduse:
+            lu = ("MODIFIED_IGBP_MODIS_NOAH"
+                  if "MODIS" in dom.llanduse.upper() else "USGS")
+            if lu != cfg.llanduse:
+                cfg = dataclasses.replace(cfg, llanduse=lu)
         tables = load_tables(table_dir, cfg.llanduse)
         vegtyp = dom.vegtyp.reshape(n)
         soiltyp = dom.soiltyp.reshape(n)

@@ -160,6 +160,7 @@ class Domain:
     iswater: int = 16
     isice: int = 24
     isurban: int = 1
+    llanduse: str = ""   # MMINLU global attr ("USGS"/"MODIS..."); "" if absent
 
 
 def read_domain(path) -> Domain:
@@ -183,6 +184,12 @@ def read_domain(path) -> Domain:
         tmn = rd("TMN", np.full((ny, nx), 285.0, np.float32))
         attrs = {k: getattr(nc, k, None) for k in
                  ("DX", "ISWATER", "ISICE", "ISURBAN")}
+        # landuse scheme from the MMINLU global attribute
+        # (module_hrldas_netcdf_io.F90:239)
+        mminlu = getattr(nc, "MMINLU", b"")
+        if isinstance(mminlu, bytes):
+            mminlu = mminlu.decode("ascii", "ignore")
+        mminlu = mminlu.strip()
         # water/soil consistency fix (:321-322)
         iswater = int(attrs.get("ISWATER") or 16)
         isl = np.where((xland > 1.5) | (ivg == iswater), 14, isl)
@@ -192,7 +199,8 @@ def read_domain(path) -> Domain:
                       dx=float(attrs.get("DX") or 1000.0),
                       iswater=iswater,
                       isice=int(attrs.get("ISICE") or 24),
-                      isurban=int(attrs.get("ISURBAN") or 1))
+                      isurban=int(attrs.get("ISURBAN") or 1),
+                      llanduse=mminlu)
 
 
 FORCING_VARS = ("T2D", "Q2D", "U2D", "V2D", "PSFC", "LWDOWN", "SWDOWN",

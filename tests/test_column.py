@@ -170,3 +170,26 @@ def test_myj_ysu_sfc_schemes(opt_sfc):
     s = initial_column_state(cfg, tsk=285.0, smc0=0.3)
     _, worst = integrate(cfg, p, s, 48, lambda h: make_forcing(h))
     check(worst)
+
+
+def test_modis_landuse_column():
+    """MODIS (MODIFIED_IGBP_MODIS_NOAH) dataset end-to-end: category
+    remapping (water=17/barren=16/snow=15, read_mp_veg_parameters
+    module_sf_noahmplsm.F90:274-404) + a conservative 2-day integration
+    on an evergreen-needleleaf column (vegtyp=1 in MODIS)."""
+    cfg = NoahMPConfig(llanduse="MODIFIED_IGBP_MODIS_NOAH")
+    t = load_tables(RUN, "MODIFIED_IGBP_MODIS_NOAH")
+    assert t.veg.nveg == 20
+    p = jtu.tree_map(lambda x: x[0],
+                     hydrate(t, np.array([1]), np.array([3])))
+    s = initial_column_state(cfg, tsk=282.0, smc0=0.3)
+    s, worst = integrate(
+        cfg, p, s, 48,
+        lambda h: make_forcing(h, prcp_mm_hr=2.0 if 5 <= h < 12 else 0.0))
+    check(worst)
+    # MODIS water category must be flagged non-vegetated, not USGS's 16
+    pw = jtu.tree_map(lambda x: x[0],
+                      hydrate(t, np.array([17]), np.array([14])))
+    sw, dw = jax.jit(lambda s, f: noahmp_sflx(cfg, pw, s, f))(
+        initial_column_state(cfg), make_forcing(12))
+    assert float(dw.elai) == 0.0 and float(dw.esai) == 0.0

@@ -167,3 +167,31 @@ def test_run_and_restart_roundtrip(setup_run):
                                tg_live[land], rtol=0, atol=2e-3)
     np.testing.assert_allclose(np.asarray(m2.state.smc)[land],
                                smc_live[land], rtol=0, atol=1e-5)
+
+
+def test_domain_mminlu_selects_modis(setup_run, tmp_path):
+    """The domain file's MMINLU global attribute overrides the namelist
+    landuse scheme (module_hrldas_netcdf_io.F90:239)."""
+    _, nml, ny, nx = setup_run
+    dom2 = tmp_path / "domain_modis.nc"
+    write_domain_file(str(dom2), ny, nx)
+    with netcdf_file(str(dom2), "a") as nc:
+        nc.MMINLU = b"MODIFIED_IGBP_MODIS_NOAH"
+        nc.ISWATER = 17
+        nc.ISICE = 15
+        nc.ISURBAN = 13
+        nc.variables["IVGTYP"][0] = np.full((ny, nx), 1, np.int32)
+
+    d = ncio.read_domain(str(dom2))
+    assert d.llanduse == "MODIFIED_IGBP_MODIS_NOAH"
+    assert d.iswater == 17 and d.isice == 15
+
+    from noahmp_tpu.driver.model import LandModel
+    from noahmp_tpu.driver.namelist import read_namelist as rn
+    cfg, rs = rn(str(nml))
+    rs.const_file = str(dom2)
+    m = LandModel.from_namelist(cfg, rs)
+    assert m.cfg.llanduse == "MODIFIED_IGBP_MODIS_NOAH"
+    # MODIS table has 20 categories; vegtyp=1 (evergreen needleleaf)
+    # has LAI_JAN 1.6 in the MODIS section (USGS vegtyp=1 is urban, 0.0)
+    assert np.isclose(float(np.asarray(m.params.laim)[0, 0]), 1.6)
