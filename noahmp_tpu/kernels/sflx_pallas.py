@@ -15,6 +15,16 @@ can be passed as explicit kernel operands (Pallas forbids closure
 capture of arrays), then evaluated inside the kernel with
 ``jax.core.eval_jaxpr`` — Mosaic vectorizes the batched ops onto the
 VPU and keeps the live set in VMEM.
+
+STATUS (v5e, 2026-08): compiles and matches XLA numerics
+(max|dTG| = 6e-5 K over a step, SMC bit-identical), but the
+Mosaic-compat refactor this kernel forced on the physics (sel(),
+one-hot gathers, int32 carries — see physics/common.py) sped up the
+plain XLA path ~10x, and the fused kernel now measures ~2x SLOWER
+than XLA (10.0 vs 5.2 ms/step at 8k columns): the whole-step live set
+(~114 MB VMEM stack) serializes blocks and defeats double-buffering.
+Mosaic also needs ~45 min to compile the 630 KB module.  Kept as an
+experimental path; `grid_step` uses the XLA pipeline.
 """
 
 from __future__ import annotations
