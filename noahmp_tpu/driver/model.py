@@ -27,7 +27,8 @@ from ..params.tables import load_tables
 from ..params.hydrate import hydrate
 from ..grid.driver import (GridMasks, GridAccum, classify, grid_step,
                            first_step_guess)
-from ..grid.lateral import MMFState, wtable_mmf, eqsmoisture
+from ..grid.lateral import (MMFState, wtable_mmf, eqsmoisture,
+                            groundwater_init)
 from .dates import calc_declin, geth_newdate, parse_date, yearlen
 from .init import cold_start
 from .namelist import RunSettings
@@ -94,13 +95,28 @@ class LandModel:
             accum = GridAccum(**{k: jnp.asarray(v, jnp.float32)
                                  for k, v in af.items()})
         else:
-            path = Path(rs.init_file)
-            # minimal init read: reuse domain TMN/defaults when absent
-            state = cold_start(cfg, tables, vegtyp, soiltyp,
-                               tsk=dom.tmn.reshape(n),
-                               smois=np.full((n, cfg.nsoil), 0.3, np.float32),
-                               stemp=np.tile(dom.tmn.reshape(n, 1),
-                                             (1, cfg.nsoil)))
+            if rs.init_file and Path(rs.init_file).exists():
+                # hrldas_init_read (:263-266): fields from the init
+                # file; SNOW = WEASD[m] * 1000 -> mm
+                ini, fndsnowh = ncio.read_init(rs.init_file, cfg.nsoil)
+                swe = ini["weasd"].reshape(n) * 1000.0
+                state = cold_start(
+                    cfg, tables, vegtyp, soiltyp,
+                    tsk=ini["skintemp"].reshape(n),
+                    smois=ini["smois"].reshape(cfg.nsoil, n).T,
+                    stemp=ini["stemp"].reshape(cfg.nsoil, n).T,
+                    swe=swe,
+                    snodep=(ini["snodep"].reshape(n) if fndsnowh
+                            else swe * 0.005),
+                    canwat=ini["canwat"].reshape(n),
+                    tmn=dom.tmn.reshape(n))
+            else:
+                # no init file: domain TMN + neutral defaults
+                state = cold_start(
+                    cfg, tables, vegtyp, soiltyp,
+                    tsk=dom.tmn.reshape(n),
+                    smois=np.full((n, cfg.nsoil), 0.3, np.float32),
+                    stemp=np.tile(dom.tmn.reshape(n, 1), (1, cfg.nsoil)))
             date = rs.start_date
 
         mmf = None
@@ -109,11 +125,41 @@ class LandModel:
         if cfg.opt_run == 5:
             smceq = eqsmoisture(cfg, tables, soiltyp)
             z = jnp.zeros(n, jnp.float32)
-            mmf = MMFState(
-                eqzwt=z, riverbed=z, rivercond=z + 0.01, pexp=z + 1.0,
-                fdepth=z + 100.0, area=z + dom.dx * dom.dx,
-                topo=jnp.asarray(dom.hgt.reshape(n)),
-                qrfs=z, qsprings=z, qslat=z, qrf=z, qspring=z, rech_acc=z)
+            if rs.mmf_runoff_file and Path(rs.mmf_runoff_file).exists():
+                # read_mmf_runoff (:170-174, io:326-392)
+                mr = {k: jnp.asarray(v.reshape(n))
+                      for k, v in ncio.read_mmf_runoff(
+                          rs.mmf_runoff_file).items()}
+                mmf = MMFState(
+                    eqzwt=mr["eqzwt"], riverbed=mr["riverbed"],
+                    rivercond=mr["rivercond"], pexp=mr["pexp"],
+                    fdepth=mr["fdepth"], area=z + dom.dx * dom.dx,
+                    topo=jnp.asarray(dom.hgt.reshape(n)),
+                    qrfs=z, qsprings=z, qslat=z, qrf=z, qspring=z,
+                    rech_acc=z)
+                if not rs.from_restart:
+                    # GROUNDWATER_INIT (module_sf_noahmpdrv.F90:1286-1471)
+                    # MMF files carry WTD in the negative-down metres
+                    # convention (compared directly to ZSOIL :1402)
+                    wtd0 = np.asarray(mr["zwt"])
+                    wtd, smois2, sh2o2, smceq, smcwtd = groundwater_init(
+                        cfg, tables, soiltyp, vegtyp, tables.veg.isurban,
+                        np.asarray(masks.land), mmf, (dom.ny, dom.nx),
+                        wtd0, np.asarray(state.smc), np.asarray(state.sh2o),
+                        WTDDT_MINUTES)
+                    state = dataclasses.replace(
+                        state, zwt=jnp.asarray(wtd),
+                        smc=jnp.asarray(smois2), sh2o=jnp.asarray(sh2o2),
+                        smcwtd=jnp.asarray(smcwtd),
+                        deeprech=jnp.zeros(n, jnp.float32),
+                        rech=jnp.zeros(n, jnp.float32))
+            else:
+                mmf = MMFState(
+                    eqzwt=z, riverbed=z, rivercond=z + 0.01, pexp=z + 1.0,
+                    fdepth=z + 100.0, area=z + dom.dx * dom.dx,
+                    topo=jnp.asarray(dom.hgt.reshape(n)),
+                    qrfs=z, qsprings=z, qslat=z, qrf=z, qspring=z,
+                    rech_acc=z)
             stepwtd = max(int(round(WTDDT_MINUTES * 60.0 / cfg.dt)), 1)
 
         m = cls(cfg=cfg, rs=rs, domain=dom, params=params, state=state,
@@ -152,6 +198,14 @@ class LandModel:
             u2d, v2d = raw["U2D"].reshape(n), raw["V2D"].reshape(n)
             sw, lw = raw["SWDOWN"].reshape(n), raw["LWDOWN"].reshape(n)
             prcp = raw["RAINRATE"].reshape(n)
+            # optional vegetation forcing (hrldas_input_read :1238-1255;
+            # VEGFRA -> SHDFAC, LAI replaces the state LAI)
+            shdfac = (raw["VEGFRA"].reshape(n) if "VEGFRA" in raw
+                      else np.full(n, 0.8, np.float32))
+            if "LAI" in raw:
+                self.state = dataclasses.replace(
+                    self.state, lai=jnp.asarray(raw["LAI"].reshape(n),
+                                                jnp.float32))
         else:
             raise ValueError("no forcing source configured (INDIR empty)")
 
@@ -170,7 +224,7 @@ class LandModel:
             lat=jnp.asarray(np.deg2rad(dom.xlat.reshape(n)), f32),
             julian=jnp.full((n,), julian, f32),
             yearlen=jnp.full((n,), yl, jnp.int32),
-            shdfac=jnp.full((n,), 0.8, f32),
+            shdfac=jnp.asarray(shdfac, f32),
             shdmax=jnp.full((n,), 0.9, f32),
             co2air=jnp.asarray(C.CO2_FRAC * psfc, f32),
             o2air=jnp.asarray(C.O2_FRAC * psfc, f32),

@@ -394,3 +394,131 @@ def eqsmoisture(cfg, tables, soiltyp):
                 break
         smceq[:, k] = np.clip(smc, 1.0e-4, smcmax * 0.99)
     return smceq
+
+
+def groundwater_init(cfg, tables, soiltyp, vegtyp, isurban, landmask,
+                     mmf: MMFState, grid_shape, wtd, smois, sh2o,
+                     wtddt_minutes=30.0):
+    """Equilibrium MMF groundwater initialization
+    (GROUNDWATER_INIT, module_sf_noahmpdrv.F90:1286-1471).
+
+    Host-side numpy (init-time only).  One LATERALFLOW + river-exchange
+    evaluation sizes the deep flux; the deep soil moisture SMCWTD is
+    then found per cell so that the Darcy flux below the column
+    compensates QLAT-QRF (100-iteration Newton, :1402-1424), or from
+    the closed-form/within-layer branches (:1429-1460).  Layers below
+    the water table are saturated and WTD is re-diagnosed against the
+    equilibrium profile.  Returns (wtd, smois, sh2o, smoiseq, smcwtd),
+    all numpy.
+    """
+    ny, nx = grid_shape
+    n = ny * nx
+    nsoil = cfg.nsoil
+    zsoil = np.asarray(cfg.zsoil, np.float64)
+    dzs = np.asarray(cfg.dzs, np.float64)
+    deltat = wtddt_minutes * 60.0
+
+    wtd = np.asarray(wtd, np.float64).copy()
+    smois = np.asarray(smois, np.float64).copy()
+    sh2o = np.asarray(sh2o, np.float64).copy()
+
+    sv = np.clip(np.asarray(soiltyp) - 1, 0, tables.soil.ncat - 1)
+    bx = tables.soil.bexp[sv].astype(np.float64)
+    smcmax = tables.soil.smcmax[sv].astype(np.float64)
+    psisat = -tables.soil.psisat[sv].astype(np.float64)  # negative
+    dksat = tables.soil.dksat[sv].astype(np.float64)
+    urban = np.asarray(vegtyp) == isurban
+    smcmax = np.where(urban, 0.45, smcmax)
+
+    # one lateral-flow + river-exchange pass (:1349-1374)
+    klat = (dksat * KLATFACTOR[np.clip(sv, 0, 18)]).astype(np.float32)
+    lm2 = np.where(np.asarray(landmask), 1, -1).reshape(ny, nx)
+    qlat = np.asarray(lateralflow(
+        jnp.asarray(wtd.reshape(ny, nx), jnp.float32),
+        jnp.asarray(klat.reshape(ny, nx)),
+        jnp.asarray(np.asarray(mmf.fdepth).reshape(ny, nx)),
+        jnp.asarray(np.asarray(mmf.topo).reshape(ny, nx)),
+        jnp.asarray(lm2), jnp.asarray(np.asarray(mmf.area).reshape(ny, nx)),
+        deltat)).reshape(-1).astype(np.float64)
+    riverbed = np.asarray(mmf.riverbed, np.float64).reshape(-1)
+    eqzwt = np.asarray(mmf.eqzwt, np.float64).reshape(-1)
+    rcond = np.where((wtd > riverbed) & (eqzwt > riverbed),
+                     np.asarray(mmf.rivercond, np.float64) *
+                     np.exp(np.asarray(mmf.pexp, np.float64) * (wtd - eqzwt)),
+                     np.asarray(mmf.rivercond, np.float64))
+    qrf = np.where(np.asarray(landmask),
+                   np.maximum(rcond * (wtd - riverbed) * deltat /
+                              np.asarray(mmf.area, np.float64), 0.0), 0.0)
+
+    smoiseq = eqsmoisture(cfg, tables, soiltyp).astype(np.float64)
+    smcwtd = np.full(n, 0.0)
+
+    valid = (bx > 0.0) & (smcmax > 0.0) & (-psisat > 0.0)
+    # water/invalid cells are masked by `valid` below; keep their
+    # intermediate math from spamming divide warnings
+    err = np.errstate(divide="ignore", invalid="ignore")
+    err.__enter__()
+    zbot = zsoil[nsoil - 1]
+    deep = wtd < zbot - dzs[nsoil - 1]
+    mid = (~deep) & (wtd < zbot)
+
+    # deep branch: Newton on SMC so the Darcy flux matches QLAT-QRF
+    expon = 2.0 * bx + 3.0
+    ddz = zbot - wtd
+    ccn = psisat / np.where(np.abs(ddz) > 1e-9, ddz, 1e-9)
+    flux = (qlat - qrf) / deltat
+    smc = np.full(n, 0.5) * smcmax
+    for _ in range(100):
+        dd = (smc + smcmax) / (2.0 * smcmax)
+        aa = -dksat * dd ** expon
+        bbb = ccn * ((smcmax / np.maximum(smc, 1e-9)) ** bx - 1.0) + 1.0
+        func = aa * bbb - flux
+        dfunc = (-dksat * (expon / (2.0 * smcmax)) * dd ** (expon - 1.0) * bbb
+                 + aa * ccn * (-bx) * smcmax ** bx
+                 * np.maximum(smc, 1e-9) ** (-bx - 1.0))
+        dx = func / np.where(np.abs(dfunc) > 1e-30, dfunc, 1e-30)
+        upd = np.abs(dx) >= 1e-6
+        smc = np.where(deep & valid & upd, smc - dx, smc)
+    smcwtd = np.where(deep, np.maximum(smc, 1e-4), smcwtd)
+
+    # mid branch: closed-form between soil bottom and one layer deeper
+    smceqdeep = np.maximum(
+        smcmax * (psisat / (psisat - dzs[nsoil - 1])) ** (1.0 / bx), 1e-4)
+    smcwtd = np.where(mid, smcmax * (wtd - (zbot - dzs[nsoil - 1]))
+                      + smceqdeep * (zbot - wtd), smcwtd)
+
+    # within-layers branch: saturate below WTD, re-diagnose WTD (:1440-1460)
+    inlay = (~deep) & (~mid)
+    smcwtd = np.where(inlay, smcmax, smcwtd)
+    zsoil0 = np.concatenate([[0.0], zsoil])  # zsoil0[k] = ZSOIL(K-1)
+    done = np.zeros(n, bool)
+    for k in range(nsoil - 1, 0, -1):  # K = NSOIL..2
+        at = inlay & valid & ~done
+        above_wt = wtd >= zsoil0[k]  # WTD >= ZSOIL(K-1)
+        sat_here = at & above_wt
+        frliq = sh2o[:, k] / np.maximum(smois[:, k], 1e-9)
+        smois[:, k] = np.where(sat_here, smcmax, smois[:, k])
+        sh2o[:, k] = np.where(sat_here, smcmax * frliq, sh2o[:, k])
+        stop = at & ~above_wt
+        low = smois[:, k] < smoiseq[:, k]
+        # Fortran: WTD = ZSOIL(K) if dry, else
+        # (SMOIS(K)*DZS(K) - SMCEQ(K)*ZSOIL(K-1) + SMCMAX*ZSOIL(K))
+        #   / (SMCMAX - SMCEQ(K))    [:1449-1455]
+        wtd = np.where(stop & low, zsoil[k], wtd)
+        wtd = np.where(stop & ~low,
+                       (smois[:, k] * dzs[k] - smoiseq[:, k] * zsoil0[k]
+                        + smcmax * zsoil[k])
+                       / np.where(np.abs(smcmax - smoiseq[:, k]) > 1e-9,
+                                  smcmax - smoiseq[:, k], 1e-9),
+                       wtd)
+        done = done | stop
+
+    # invalid-soil fallback (:1462-1466)
+    smoiseq = np.where(valid[:, None], smoiseq, smcmax[:, None])
+    smcwtd = np.where(valid, smcwtd, smcmax)
+    wtd = np.where(valid, wtd, 0.0)
+    err.__exit__(None, None, None)
+
+    return (wtd.astype(np.float32), smois.astype(np.float32),
+            sh2o.astype(np.float32), smoiseq.astype(np.float32),
+            smcwtd.astype(np.float32))

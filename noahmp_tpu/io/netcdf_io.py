@@ -205,6 +205,72 @@ def read_domain(path) -> Domain:
 
 FORCING_VARS = ("T2D", "Q2D", "U2D", "V2D", "PSFC", "LWDOWN", "SWDOWN",
                 "RAINRATE")
+# optional per-file vegetation forcing (hrldas_input_read :1238-1255)
+OPTIONAL_FORCING_VARS = ("VEGFRA", "LAI")
+
+
+def read_init(path, nsoil):
+    """Cold-start initial-condition reader (hrldas_init_read_seq,
+    module_hrldas_netcdf_io.F90:739-808).
+
+    Reads CANWAT, SKINTEMP, WEASD (normalized to METERS from m / mm /
+    kg m-2 via the units attribute, :766-781), SNODEP (optional ->
+    fndsnowh), STEMP, SMOIS.  Returns (dict of arrays, fndsnowh); 2-D
+    fields are (ny, nx), 3-D are (nsoil, ny, nx).
+    """
+    out = {}
+    with netcdf_file(path, "r", mmap=False) as nc:
+        v = nc.variables
+
+        def rd(name):
+            a = v[name][:]
+            a = np.array(a[0] if a.ndim in (3, 4) else a)
+            return np.ascontiguousarray(a, dtype=np.float32)
+
+        for name in ("CANWAT", "SKINTEMP", "WEASD", "STEMP", "SMOIS"):
+            if name not in v:
+                raise KeyError(f"init file {path} missing {name}")
+        out["canwat"] = rd("CANWAT")
+        out["skintemp"] = rd("SKINTEMP")
+        weasd = rd("WEASD")
+        units = getattr(v["WEASD"], "units", b"m")
+        if isinstance(units, bytes):
+            units = units.decode("ascii", "ignore")
+        units = units.strip()
+        if units == "m":
+            pass
+        elif units in ("mm", "kg m{-2}", "kg m-2", "kg/m2"):
+            weasd = weasd * 1.0e-3
+        else:
+            raise ValueError(f"unknown WEASD units: {units!r}")
+        out["weasd"] = weasd  # meters, as the reference driver receives
+        fndsnowh = "SNODEP" in v
+        out["snodep"] = rd("SNODEP") if fndsnowh else np.zeros_like(weasd)
+        stemp = rd("STEMP")
+        smois = rd("SMOIS")
+        for name, a in (("STEMP", stemp), ("SMOIS", smois)):
+            if a.shape[0] < nsoil:
+                raise ValueError(f"{name} has {a.shape[0]} layers < {nsoil}")
+        out["stemp"] = stemp[:nsoil]
+        out["smois"] = smois[:nsoil]
+    return out, fndsnowh
+
+
+MMF_RUNOFF_VARS = ("ZWT", "EQZWT", "RIVERBED", "RIVERCOND", "PEXP",
+                   "FDEPTH")
+
+
+def read_mmf_runoff(path):
+    """MMF groundwater ancillary reader (read_mmf_runoff,
+    module_hrldas_netcdf_io.F90:326-392): ZWT, EQZWT, RIVERBED,
+    RIVERCOND, PEXP, FDEPTH -> dict of (ny, nx) float32 arrays."""
+    out = {}
+    with netcdf_file(path, "r", mmap=False) as nc:
+        for name in MMF_RUNOFF_VARS:
+            a = nc.variables[name][:]
+            out[name.lower()] = np.ascontiguousarray(
+                a[0] if a.ndim == 3 else a, dtype=np.float32)
+    return out
 
 
 def read_forcing_file(path):
@@ -257,8 +323,21 @@ class ForcingReader:
                 n = int(np.prod(self._shape))
             self._prefetch = ForcingPrefetcher(list(FORCING_VARS), n)
         flat = self._prefetch.get(path)
-        return {k: np.asarray(v).reshape(self._shape)
-                for k, v in flat.items()}
+        out = {k: np.asarray(v).reshape(self._shape)
+               for k, v in flat.items()}
+        # optional VEGFRA/LAI in the forcing file (:1238-1255); held at
+        # the last read when absent (carry-over handled in read())
+        try:
+            with netcdf_file(path, "r", mmap=False) as nc:
+                for name in OPTIONAL_FORCING_VARS:
+                    if name in nc.variables:
+                        a = nc.variables[name][:]
+                        out[name] = np.ascontiguousarray(
+                            a[0] if a.ndim == 3 else a,
+                            dtype=np.float32).reshape(self._shape)
+        except OSError:
+            pass
+        return out
 
     def read(self, date_str, epoch):
         from ..driver.dates import geth_newdate
@@ -292,6 +371,13 @@ class ForcingReader:
             else:
                 out[k] = ((1.0 - w) * self.last[1][k]
                           + w * self.next[1][k]).astype(np.float32)
+        # FPAR/LAI are never interpolated, only carried (:1369-1403);
+        # propagate the last seen value forward across files without one
+        for k in OPTIONAL_FORCING_VARS:
+            if k in self.last[1]:
+                out[k] = self.last[1][k]
+                if k not in self.next[1]:
+                    self.next[1][k] = self.last[1][k]
         return out
 
 

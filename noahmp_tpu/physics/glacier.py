@@ -312,6 +312,10 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
     """
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
 
+    # deep temperature capped at -10C for land ice
+    # (module_sf_noahmpdrv.F90:556: TBOT = MIN(TBOT, 263.15))
+    tbot = jnp.minimum(f.tbot, 263.15)
+
     # ATM_GLACIER (:340-391): no convective split, no night-SW kept
     pair = f.sfcprs
     thair = f.sfctmp * (f.sfcprs / pair) ** (C.RAIR / C.CPAIR)
@@ -357,7 +361,7 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
     class _PZ:  # minimal param shim for tsnosoi (needs .zbot)
         zbot = ZBOT_GLACIER
 
-    stc = tsnosoi(cfg, _PZ, s.isnow, s.zsnso, dzsnso, s.stc, f.tbot,
+    stc = tsnosoi(cfg, _PZ, s.isnow, s.zsnso, dzsnso, s.stc, tbot,
                   ssoil, df, hcpct, s.snowh)
 
     if cfg.opt_stc == 2:

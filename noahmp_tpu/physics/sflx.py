@@ -122,9 +122,19 @@ def noahmp_sflx(cfg, p, s: ColumnState, f: Forcing, ist=1, ice=0):
         is_snow=p.vegtyp == (24 if cfg.llanduse == "USGS" else 15),
         is_urban=p.is_urban,
     )
+    # USGS playa/lava/white-sand forced bare: FVEG=0, LAI=0
+    # (module_sf_noahmpdrv.F90:540-545)
+    if cfg.llanduse == "USGS":
+        bare3 = ((p.vegtyp == 25) | (p.vegtyp == 26) | (p.vegtyp == 27))
+        shdfac = sel(bare3, 0.0, f.shdfac)
+        shdmax = sel(bare3, 0.0, f.shdmax)
+        lai_in = sel(bare3, 0.0, s.lai)
+    else:
+        shdfac, shdmax, lai_in = f.shdfac, f.shdmax, s.lai
+
     ph = phenology(cfg, p, s.snowh, s.tv, f.lat, f.yearlen, f.julian,
-                   s.lai, s.sai, veg_flags)
-    fveg = compute_fveg(cfg, f.shdfac, f.shdmax, ph.lai, ph.sai,
+                   lai_in, s.sai, veg_flags)
+    fveg = compute_fveg(cfg, shdfac, shdmax, ph.lai, ph.sai,
                         ph.elai, ph.esai, veg_flags["is_urban"],
                         veg_flags["is_barren"])
 

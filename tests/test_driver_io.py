@@ -195,3 +195,130 @@ def test_domain_mminlu_selects_modis(setup_run, tmp_path):
     # MODIS table has 20 categories; vegtyp=1 (evergreen needleleaf)
     # has LAI_JAN 1.6 in the MODIS section (USGS vegtyp=1 is urban, 0.0)
     assert np.isclose(float(np.asarray(m.params.laim)[0, 0]), 1.6)
+
+
+def test_init_file_cold_start(setup_run, tmp_path):
+    """hrldas_init_read (:739-808): CANWAT/SKINTEMP/WEASD/SNODEP/STEMP/
+    SMOIS from the init file seed the cold start; WEASD units are
+    normalized and SNOW = WEASD*1000 mm (driver :263-266)."""
+    _, nml, ny, nx = setup_run
+    init = tmp_path / "init.nc"
+    nsoil = 4
+    with netcdf_file(str(init), "w") as nc:
+        nc.createDimension("Time", 1)
+        nc.createDimension("soil_layers_stag", nsoil)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("west_east", nx)
+
+        def mk2(name, val, units=None):
+            v = nc.createVariable(name, "f", ("Time", "south_north",
+                                              "west_east"))
+            v[0] = np.full((ny, nx), val, np.float32)
+            if units:
+                v.units = units
+
+        mk2("CANWAT", 0.15)
+        mk2("SKINTEMP", 291.5)
+        mk2("WEASD", 25.0, units="kg/m2")   # 25 mm SWE
+        mk2("SNODEP", 0.12)
+        for name, val in (("STEMP", 288.0), ("SMOIS", 0.33)):
+            v = nc.createVariable(name, "f", ("Time", "soil_layers_stag",
+                                              "south_north", "west_east"))
+            v[0] = np.full((nsoil, ny, nx), val, np.float32)
+
+    ini, fndsnowh = ncio.read_init(str(init), nsoil)
+    assert fndsnowh
+    assert np.allclose(ini["weasd"], 0.025)  # kg/m2 -> m
+    assert ini["smois"].shape == (nsoil, ny, nx)
+
+    from noahmp_tpu.driver.model import LandModel
+    from noahmp_tpu.driver.namelist import read_namelist as rn
+    cfg, rs = rn(str(nml))
+    rs.init_file = str(init)
+    m = LandModel.from_namelist(cfg, rs)
+    s = m.state
+    assert np.allclose(np.asarray(s.smc), 0.33)
+    assert np.allclose(np.asarray(s.sneqv), 25.0)   # mm
+    assert np.allclose(np.asarray(s.snowh), 0.12)
+    assert np.allclose(np.asarray(s.canliq) + np.asarray(s.canice), 0.15)
+    assert np.allclose(np.asarray(s.stc[:, 3:]), 288.0)
+
+
+def test_mmf_runoff_file_and_groundwater_init(setup_run, tmp_path):
+    """read_mmf_runoff (:326-392) + GROUNDWATER_INIT (:1286-1471):
+    layers below the water table start saturated, SMCWTD is physical,
+    and the MMFState carries the file's river parameters."""
+    _, nml, ny, nx = setup_run
+    mmf_f = tmp_path / "mmf.nc"
+    with netcdf_file(str(mmf_f), "w") as nc:
+        nc.createDimension("Time", 1)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("west_east", nx)
+        vals = {"ZWT": -0.55, "EQZWT": -1.0, "RIVERBED": -3.0,
+                "RIVERCOND": 0.05, "PEXP": 1.0, "FDEPTH": 80.0}
+        for name, val in vals.items():
+            v = nc.createVariable(name, "f", ("Time", "south_north",
+                                              "west_east"))
+            v[0] = np.full((ny, nx), val, np.float32)
+
+    mr = ncio.read_mmf_runoff(str(mmf_f))
+    assert np.allclose(mr["fdepth"], 80.0)
+
+    from noahmp_tpu.driver.model import LandModel
+    from noahmp_tpu.driver.namelist import read_namelist as rn
+    import dataclasses as dc
+    cfg, rs = rn(str(nml))
+    cfg = dc.replace(cfg, opt_run=5)
+    rs.mmf_runoff_file = str(mmf_f)
+    m = LandModel.from_namelist(cfg, rs)
+    land = np.asarray(m.masks.land)
+    smc = np.asarray(m.state.smc)
+    zwt = np.asarray(m.state.zwt)
+    smcwtd = np.asarray(m.state.smcwtd)
+    # WTD at -0.55 m sits inside layer 3 (zsoil -0.4..-1.0): layers
+    # below the diagnosed WT are saturated (smcmax for soiltyp 3 ~0.434)
+    assert (smc[land, 3] > 0.42).all()
+    assert (smcwtd[land] > 0.0).all() and (smcwtd[land] <= 0.47).all()
+    assert np.isfinite(zwt[land]).all()
+    assert float(np.asarray(m.mmf.rivercond)[0]) == np.float32(0.05)
+
+
+def test_forcing_optional_vegfra_lai(tmp_path):
+    """Optional VEGFRA/LAI in forcing files (hrldas_input_read
+    :1238-1255): used when present, carried over when a later file
+    lacks them, never time-interpolated."""
+    ny, nx = 3, 4
+    ind = tmp_path / "ind"
+    ind.mkdir()
+    base = {"T2D": 280.0, "Q2D": 0.007, "U2D": 2.0, "V2D": 1.0,
+            "PSFC": 95000.0, "LWDOWN": 330.0, "SWDOWN": 0.0,
+            "RAINRATE": 0.0}
+    # file 0 has VEGFRA+LAI; file 1 doesn't; file 2 has new values
+    dates = ["2017-05-01_00:00:00", "2017-05-01_03:00:00",
+             "2017-05-01_06:00:00", "2017-05-01_09:00:00"]
+    extras = [{"VEGFRA": 0.6, "LAI": 2.5}, {}, {"VEGFRA": 0.3}, {}]
+    for date, ex in zip(dates, extras):
+        compact = date.replace("-", "").replace("_", "").replace(":", "")
+        path = f"{ind}/{compact[:10]}.LDASIN_DOMAIN1"
+        ncio.write_forcing_file(
+            path, {k: np.full((ny, nx), v, np.float32)
+                   for k, v in base.items()}, ny, nx)
+        if ex:
+            with netcdf_file(path, "a") as nc:
+                for k, v in ex.items():
+                    var = nc.createVariable(
+                        k, "f", ("Time", "south_north", "west_east"))
+                    var[0] = np.full((ny, nx), v, np.float32)
+
+    r = ncio.ForcingReader(str(ind), 10800)
+    out0 = r.read(dates[0], 0)
+    assert np.allclose(out0["VEGFRA"], 0.6) and np.allclose(out0["LAI"], 2.5)
+    # mid-interval: still the carried (non-interpolated) values
+    out_mid = r.read("2017-05-01_01:00:00", 3600)
+    assert np.allclose(out_mid["VEGFRA"], 0.6)
+    # second interval: file 1 lacks them -> carried from file 0
+    out1 = r.read(dates[1], 10800)
+    assert np.allclose(out1["VEGFRA"], 0.6) and np.allclose(out1["LAI"], 2.5)
+    # third interval: VEGFRA updates, LAI still carried
+    out2 = r.read(dates[2], 21600)
+    assert np.allclose(out2["VEGFRA"], 0.3) and np.allclose(out2["LAI"], 2.5)
