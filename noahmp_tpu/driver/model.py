@@ -80,9 +80,11 @@ class LandModel:
                          dom.iswater, dom.isice)
         accum = GridAccum.zeros(n)
 
+        mf = {}
         if rs.from_restart:
             path = Path(rs.resdir) / rs.restart_file
-            date, sf, af = ncio.read_restart(str(path), cfg, dom.ny, dom.nx)
+            date, sf, af, mf = ncio.read_restart(str(path), cfg,
+                                                 dom.ny, dom.nx)
             base = cold_start(cfg, tables, vegtyp, soiltyp,
                               tsk=np.full(n, 285.0, np.float32),
                               smois=sf["smc"], stemp=sf["stc"][:, cfg.nsnow:])
@@ -160,6 +162,10 @@ class LandModel:
                     topo=jnp.asarray(dom.hgt.reshape(n)),
                     qrfs=z, qsprings=z, qslat=z, qrf=z, qspring=z,
                     rech_acc=z)
+            if rs.from_restart and mf:
+                # restore MMF flux accumulators (driver :660-673)
+                mmf = mmf._replace(**{k: jnp.asarray(v)
+                                      for k, v in mf.items()})
             stepwtd = max(int(round(WTDDT_MINUTES * 60.0 / cfg.dt)), 1)
 
         m = cls(cfg=cfg, rs=rs, domain=dom, params=params, state=state,
@@ -296,5 +302,6 @@ class LandModel:
         path = Path(self.rs.resdir) / f"restart.{compact}.nc"
         path.parent.mkdir(parents=True, exist_ok=True)
         ncio.write_restart(str(path), self.cfg, self.date, self.state,
-                           self.accum, self.domain.ny, self.domain.nx)
+                           self.accum, self.domain.ny, self.domain.nx,
+                           mmf=self.mmf)
         return str(path)

@@ -466,7 +466,15 @@ class HistoryWriter:
                 var.description = desc.encode()
 
 
-def write_restart(path, cfg, date_str, state, accum, ny, nx):
+# MMF groundwater accumulators restarted for exact continuity
+# (driver :660-673 writes 16 MMF fields; the static ancillaries
+# EQZWT/RIVERBED/RIVERCOND/PEXP/FDEPTH re-load from the runoff file)
+RESTART_MMF = [("QRFS", "qrfs"), ("QSPRINGS", "qsprings"),
+               ("QSLAT", "qslat"), ("QRF", "qrf"), ("QSPRING", "qspring"),
+               ("RECH_ACC", "rech_acc")]
+
+
+def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None):
     """Restart writer (hrldas_restart_* :2065-2524 + driver
     :597-675)."""
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
@@ -509,6 +517,12 @@ def write_restart(path, cfg, date_str, state, accum, ny, nx):
                                     ("Time", "south_north", "west_east"))
             var[0] = np.asarray(getattr(accum, field)).reshape(ny, nx) \
                 .astype(np.float32)
+        if mmf is not None:
+            for (ncname, field) in RESTART_MMF:
+                var = nc.createVariable(
+                    ncname, "f", ("Time", "south_north", "west_east"))
+                var[0] = np.asarray(getattr(mmf, field)).reshape(ny, nx) \
+                    .astype(np.float32)
 
 
 def read_restart(path, cfg, ny, nx):
@@ -531,8 +545,13 @@ def read_restart(path, cfg, ny, nx):
         for (ncname, field) in RESTART_ACCUM:
             accum_fields[field] = np.ascontiguousarray(
                 nc.variables[ncname][0], dtype=np.float32).reshape(n)
+        mmf_fields = {}
+        for (ncname, field) in RESTART_MMF:
+            if ncname in nc.variables:
+                mmf_fields[field] = np.ascontiguousarray(
+                    nc.variables[ncname][0], dtype=np.float32).reshape(n)
     # reassemble stc
     stc = np.concatenate([state_fields.pop("stc_snow"),
                           state_fields.pop("stc_soil")], axis=1)
     state_fields["stc"] = stc
-    return date_str, state_fields, accum_fields
+    return date_str, state_fields, accum_fields, mmf_fields
