@@ -1,0 +1,170 @@
+"""Pure-function unit tests per column subroutine (SURVEY §4 item 1).
+
+Each physics helper is a deterministic given-state -> new-state map, so
+these check them against independent references: numpy linear algebra
+for the tridiagonal solve, closed forms for saturation vapor pressure,
+and conservation/ordering invariants for the snow-layer mechanics and
+the Mosaic-safe primitives in physics/common.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from noahmp_tpu import constants as C
+from noahmp_tpu.physics.common import (take1, put1, add1, roll_to_front,
+                                       atan_tpu, cumsum_small,
+                                       first_true_idx, last_true_idx,
+                                       sel, band, esat)
+from noahmp_tpu.physics.soil_temp import tridiag_thomas
+from noahmp_tpu.physics.phase import frh2o
+from noahmp_tpu.physics.soil_water import wdfcnd1, wdfcnd2
+from noahmp_tpu.physics.radiation import snow_age
+
+
+# ---------------------------------------------------------------- common
+
+def test_take_put_add_roll_match_numpy():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=7).astype(np.float32)
+    for idx in (-1, 0, 3, 6):
+        assert np.isclose(float(take1(jnp.asarray(a), idx)), a[idx])
+        got = np.asarray(put1(jnp.asarray(a), idx, 9.5))
+        want = a.copy(); want[idx] = 9.5
+        np.testing.assert_allclose(got, want)
+        got = np.asarray(add1(jnp.asarray(a), idx, 2.0))
+        want = a.copy(); want[idx] += 2.0
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+    for start in range(7):
+        got = np.asarray(roll_to_front(jnp.asarray(a), start))
+        np.testing.assert_allclose(got, np.roll(a, -start), rtol=1e-6)
+
+
+def test_atan_cumsum_true_idx():
+    x = np.linspace(-50, 50, 1001).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(atan_tpu(jnp.asarray(x))),
+                               np.arctan(x), atol=2e-6)
+    a = np.arange(6, dtype=np.float32).reshape(6)
+    np.testing.assert_allclose(np.asarray(cumsum_small(jnp.asarray(a))),
+                               np.cumsum(a))
+    h = jnp.asarray(np.array([0, 0, 1, 0, 1, 0], bool))
+    assert int(first_true_idx(h, -9)) == 2
+    assert int(last_true_idx(h, -9)) == 4
+    h0 = jnp.zeros(6, bool)
+    assert int(first_true_idx(h0, -9)) == -9
+    assert int(last_true_idx(h0, -9)) == -9
+
+
+def test_sel_band_semantics():
+    a = jnp.arange(4.0)
+    np.testing.assert_allclose(np.asarray(sel(a > 1.5, a, -a)),
+                               np.where(np.arange(4) > 1.5,
+                                        np.arange(4.0), -np.arange(4.0)))
+    # rank-expanding mask over a layer axis
+    m = jnp.asarray([True, False])
+    x = jnp.ones((2, 3))
+    out = np.asarray(sel(m[:, None], x, 0.0))
+    assert out[0].all() and not out[1].any()
+    # bool-valued select stays correct through the int32 path
+    out = np.asarray(sel(m, jnp.zeros(2, bool), jnp.ones(2, bool)))
+    assert out.tolist() == [False, True]
+    assert np.asarray(band(m, jnp.asarray([True, True]))).tolist() \
+        == [True, False]
+
+
+def test_esat_polynomials():
+    # Lowe (1977) polynomials: known values within 1%
+    esw, esi, desw, desi = esat(jnp.asarray([0.0, 20.0, -20.0]))
+    esw, esi = np.asarray(esw), np.asarray(esi)
+    assert abs(esw[0] - 611.0) / 611.0 < 0.01       # 0C: 611 Pa
+    assert abs(esw[1] - 2339.0) / 2339.0 < 0.01     # 20C: 2.339 kPa
+    assert abs(esi[2] - 103.0) / 103.0 < 0.02       # -20C ice: ~103 Pa
+    # derivative ~ finite difference
+    e1 = np.asarray(esat(jnp.asarray([10.001]))[0])
+    e0 = np.asarray(esat(jnp.asarray([9.999]))[0])
+    fd = (e1 - e0) / 0.002
+    an = float(np.asarray(esat(jnp.asarray([10.0]))[2])[0])
+    assert abs(fd - an) / an < 1e-3
+
+
+# ----------------------------------------------------------- tridiagonal
+
+def test_tridiag_thomas_vs_numpy():
+    rng = np.random.default_rng(1)
+    k = 7
+    for top in range(4):  # variable NTOP via identity rows, as callers do
+        a = rng.uniform(0.1, 0.5, k).astype(np.float32)
+        c = rng.uniform(0.1, 0.5, k).astype(np.float32)
+        b = (1.0 + a + c + rng.uniform(0.5, 1.0, k)).astype(np.float32)
+        r = rng.normal(size=k).astype(np.float32)
+        a[-1] = a[-1]  # free
+        # neutralize rows above NTOP with identity rows (callers'
+        # convention for inactive snow layers)
+        a[:top + 1] = np.where(np.arange(top + 1) < top, 0.0, 0.0)
+        a[top] = 0.0
+        c[-1] = 0.0
+        b[:top] = 1.0
+        a[:top] = 0.0
+        c[:top] = 0.0
+        r[:top] = 0.0
+        x = np.asarray(tridiag_thomas(jnp.asarray(a), jnp.asarray(b),
+                                      jnp.asarray(c), jnp.asarray(r)))
+        m = np.zeros((k - top, k - top))
+        for i in range(k - top):
+            m[i, i] = b[top + i]
+            if i > 0:
+                m[i, i - 1] = a[top + i]
+            if i < k - top - 1:
+                m[i, i + 1] = c[top + i]
+        want = np.linalg.solve(m, r[top:])
+        np.testing.assert_allclose(x[top:], want, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(x[:top], 0.0, atol=1e-6)
+
+
+# -------------------------------------------------------- phase / soil
+
+def _params_stub():
+    import types
+    return types.SimpleNamespace(
+        bexp=jnp.asarray(4.74), psisat=jnp.asarray(0.141),
+        smcmax=jnp.asarray(0.434), dksat=jnp.asarray(5.23e-6),
+        dwsat=jnp.asarray(0.805e-5), smcwlt=jnp.asarray(0.047))
+
+
+def test_frh2o_supercooled_properties():
+    p = _params_stub()
+    smc, sh2o = jnp.asarray(0.3), jnp.asarray(0.15)
+    # warm: all liquid
+    assert float(frh2o(p, jnp.asarray(C.TFRZ + 1.0), smc, sh2o)) \
+        == pytest.approx(0.3)
+    # colder -> less supercooled liquid, always in (0, smc]
+    prev = 1.0
+    for t in (272.5, 271.0, 268.0, 263.0):
+        free = float(frh2o(p, jnp.asarray(t), smc, sh2o))
+        assert 0.0 < free <= 0.3 + 1e-6
+        assert free <= prev + 1e-6
+        prev = free
+
+
+def test_wdfcnd_monotonic():
+    p = _params_stub()
+    smcs = jnp.asarray([0.1, 0.2, 0.3, 0.4])
+    wdf1, wcnd1 = wdfcnd1(p, smcs, jnp.asarray(0.0))
+    wdf1, wcnd1 = np.asarray(wdf1), np.asarray(wcnd1)
+    assert (np.diff(wdf1) > 0).all() and (np.diff(wcnd1) > 0).all()
+    # frozen soil damps conductivity (OPT_INF=2 liquid-only form)
+    _, wcnd_ice = wdfcnd2(p, smcs, jnp.asarray(0.1))
+    assert (np.asarray(wcnd_ice) <= wcnd1 + 1e-12).all()
+
+
+def test_snow_age_bounds():
+    # BATS snow age: fage in [0,1), tauss grows under aging, resets
+    # toward 0 under heavy fresh snowfall (SWEMX dilution)
+    tauss, fage = snow_age(3600.0, jnp.asarray(263.0), jnp.asarray(100.0),
+                           jnp.asarray(100.0), jnp.asarray(0.5))
+    assert 0.0 <= float(fage) < 1.0 and float(tauss) > 0.0
+    tauss2, fage2 = snow_age(3600.0, jnp.asarray(263.0),
+                             jnp.asarray(100.0), jnp.asarray(101.0),
+                             jnp.asarray(0.5))
+    assert float(tauss2) < 0.5  # fresh snow rejuvenates the surface
