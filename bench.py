@@ -6,6 +6,12 @@ reported against a conservative single-core Fortran estimate of 2e5
 columns*steps/s (scalar column solve ~5 us/column/step), until a
 measured noahmp.exe run is available.
 
+The time loop runs as a `lax.scan` on device (the production driver's
+jitted step chained without host round-trips), so the metric measures
+device throughput rather than per-step dispatch latency through the
+remote-TPU tunnel.  Forcing varies per step (a (K, n) stacked buffer
+indexed by step) to prevent constant folding across iterations.
+
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 "vs_baseline": N}.
 """
@@ -14,7 +20,8 @@ import json
 import time
 
 import jax
-import numpy as np
+import jax.numpy as jnp
+import jax.tree_util as jtu
 
 FORTRAN_EST_COL_STEPS_PER_S = 2.0e5
 
@@ -24,22 +31,38 @@ def main():
     from noahmp_tpu.grid.driver import grid_step
 
     n = 65536
+    nsteps = 96          # simulated steps per timed call (4 days at dt=1h)
+    nforc = 8            # distinct diurnal forcing snapshots
     cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
 
-    step = jax.jit(lambda p, s, f, m, a: grid_step(cfg, p, s, f, m, a))
+    forc_stack = jtu.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[synthetic_forcing(n, hour=24.0 * h / nforc) for h in range(nforc)])
 
-    # distinct forcing per step (avoids constant folding); compile once
-    forcings = [synthetic_forcing(n, hour=float(h)) for h in range(6)]
-    s, d, a = step(params, state, forcings[0], masks, accum)
+    def run(params, state, accum, forc_stack):
+        def body(carry, t):
+            s, a = carry
+            f = jtu.tree_map(lambda x: x[t % nforc], forc_stack)
+            s, _, a = grid_step(cfg, params, s, f, masks, a)
+            return (s, a), ()
+
+        (s, a), _ = jax.lax.scan(body, (state, accum),
+                                 jnp.arange(nsteps))
+        return s, a
+
+    # NOTE: buffer donation (donate_argnums) is rejected by the remote
+    # axon TPU backend at readback time; state buffers here are small,
+    # so plain jit costs nothing measurable.
+    runj = jax.jit(run)
+
+    s, a = runj(params, state, accum, forc_stack)
     # NOTE: through the remote-TPU tunnel, block_until_ready alone can
     # return before the work is flushed; a scalar readback is the only
     # trustworthy fence, so the timed region ends with one.
     float(s.tg.sum())
 
-    nsteps = 20
     t0 = time.perf_counter()
-    for i in range(nsteps):
-        s, d, a = step(params, s, forcings[i % len(forcings)], masks, a)
+    s, a = runj(params, s, a, forc_stack)
     float(s.tg.sum())
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,48 @@
+"""CLI entry point: `python -m noahmp_tpu [noahmp.namelist]`.
+
+Equivalent of the reference main program (driver/main_hrldas_noahmp.F90
+:1-20): read the namelist, compute ntime, initialize the land driver,
+and integrate `do itime = 1, ntime`.
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="noahmp_tpu",
+        description="TPU-native Noah-MP land surface model (HRLDAS-style "
+                    "offline driver)")
+    p.add_argument("namelist", nargs="?", default="noahmp.namelist",
+                   help="path to the HRLDAS_NOAHMP namelist "
+                        "(default: ./noahmp.namelist)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override the number of timesteps (default: "
+                        "ntime from KDAY/KHOUR)")
+    p.add_argument("--table-dir", default="/root/reference/run",
+                   help="directory holding MPTABLE/SOILPARM/VEGPARM/"
+                        "GENPARM .TBL files")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress the per-step timing heartbeat")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the run to DIR")
+    p.add_argument("--probe", action="store_true",
+                   help="dump per-field state statistics after the run "
+                        "(hrldas_noahmp_vars_probe equivalent)")
+    args = p.parse_args(argv)
+
+    from noahmp_tpu.driver.namelist import read_namelist
+    from noahmp_tpu.driver.model import LandModel
+
+    cfg, rs = read_namelist(args.namelist)
+    model = LandModel.from_namelist(cfg, rs, table_dir=args.table_dir)
+    nsteps = args.steps if args.steps is not None else rs.ntime
+    model.run(nsteps, verbose=not args.quiet, profile_dir=args.profile)
+    if args.probe:
+        model.probe()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

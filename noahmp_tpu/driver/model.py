@@ -289,12 +289,44 @@ class LandModel:
                   f"SFLX: {t2 - t1:.3f}s", flush=True)
         return diag
 
-    def run(self, nsteps=None, verbose=False):
+    def run(self, nsteps=None, verbose=False, profile_dir=None):
+        """Integrate nsteps.  With profile_dir, wrap the loop in a
+        jax.profiler trace (the TPU-native equivalent of the
+        reference's system_clock SFLX timers,
+        module_hrldas_noahmp_driver.F90:46-53, :580-585)."""
         nsteps = nsteps if nsteps is not None else self.rs.ntime
         last = None
+        if profile_dir:
+            with jax.profiler.trace(str(profile_dir)):
+                for _ in range(nsteps):
+                    last = self.step(verbose=verbose)
+            return last
         for _ in range(nsteps):
             last = self.step(verbose=verbose)
         return last
+
+    def probe(self, file=None):
+        """Full-state debug dump (hrldas_noahmp_vars_probe,
+        module_hrldas_noahmp_vars.F90:465-601): per-field min/max/mean
+        over land columns, one line each."""
+        import sys
+        out = file or sys.stdout
+        land = np.asarray(self.masks.land)
+        print(f"--- probe @ {self.date} (itime={self.itime}, "
+              f"{int(land.sum())} land / {land.size} columns)", file=out)
+        for f in dataclasses.fields(self.state):
+            a = np.asarray(getattr(self.state, f.name))
+            sel = a[land] if a.shape[:1] == land.shape else a
+            if sel.size == 0:
+                continue
+            print(f"{f.name.upper():>10s}: min={sel.min():14.6g} "
+                  f"max={sel.max():14.6g} mean={sel.mean():14.6g}",
+                  file=out)
+        for name, a in zip(self.accum._fields, self.accum):
+            sel = np.asarray(a)[land]
+            print(f"{name.upper():>10s}: min={sel.min():14.6g} "
+                  f"max={sel.max():14.6g} mean={sel.mean():14.6g}",
+                  file=out)
 
     def write_restart(self):
         compact = self.date.replace("-", "").replace(":", "") \

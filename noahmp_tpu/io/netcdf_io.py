@@ -256,6 +256,137 @@ def read_init(path, nsoil):
     return out, fndsnowh
 
 
+def init_vertical_interp(sldpth, src, layer_bottom, layer_top):
+    """Center-point vertical regrid of legacy initial conditions
+    (hrldas_init_interp, module_hrldas_netcdf_io.F90:951-1067).
+
+    sldpth: (nsoil,) destination layer thicknesses; src: (nvar, ny, nx)
+    source levels; layer_bottom/layer_top: (nvar,) depths of each source
+    layer's bottom/top below the surface.  Returns (nsoil, ny, nx).
+
+    Rules (in reference order): destination centers shallower than the
+    first source center clamp to level 1; deeper than the last clamp to
+    level nvar; centers within 0.01 m of a source center copy it;
+    otherwise linear interpolation between the bracketing source
+    centers.  (The reference's final assignment writes `var(:,:,k)` —
+    a transposed-index bug at :1062; this implements the intended
+    `var(:,k,:)`.)
+    """
+    sldpth = np.asarray(sldpth, np.float64)
+    nsoil = sldpth.shape[0]
+    src = np.asarray(src, np.float32)
+    nvar = src.shape[0]
+    dst_c = np.cumsum(sldpth) - sldpth / 2.0
+    src_c = 0.5 * (np.asarray(layer_bottom, np.float64)[:nvar]
+                   + np.asarray(layer_top, np.float64)[:nvar])
+    out = np.empty((nsoil,) + src.shape[1:], np.float32)
+    for k in range(nsoil):
+        d = dst_c[k]
+        if d < src_c[0]:
+            out[k] = src[0]
+            continue
+        if d > src_c[-1]:
+            out[k] = src[-1]
+            continue
+        near = np.nonzero(np.abs(d - src_c) < 0.01)[0]
+        if near.size:
+            out[k] = src[near[0]]
+            continue
+        ktop = np.nonzero(src_c < d)[0][-1]
+        kbot = np.nonzero(src_c > d)[0][0]
+        frac = (src_c[kbot] - d) / (src_c[kbot] - src_c[ktop])
+        out[k] = src[ktop] * frac + src[kbot] * (1.0 - frac)
+    return out
+
+
+def _weasd_to_meters(weasd, var):
+    """Normalize a WEASD read to meters via its units attribute
+    (module_hrldas_netcdf_io.F90:902-927, :1506-1523)."""
+    units = getattr(var, "units", b"m")
+    if isinstance(units, bytes):
+        units = units.decode("ascii", "ignore")
+    units = units.strip()
+    if units == "m":
+        return weasd
+    if units in ("mm", "kg m{-2}", "kg m-2", "kg/m2"):
+        return weasd * 1.0e-3
+    raise ValueError(f"unknown WEASD units: {units!r}")
+
+
+def read_init_legacy(path, nsoil, sldpth):
+    """Legacy (pre-v2015) initial-condition reader
+    (hrldas_init_read_old, module_hrldas_netcdf_io.F90:811-948).
+
+    Old LDASIN files carry per-level variables STEMP_1..4 / SMOIS_1..4
+    with `layer_top`/`layer_bottom` depth attributes instead of a soil
+    dimension; they are regridded to the model's nsoil layers by
+    center-point interpolation.  Returns (dict, fndsnowh,
+    ldasin_version); version is parsed from the TITLE global attribute's
+    vYYYYMMDD tag (0 when TITLE is absent, :864-886).
+    """
+    out = {}
+    with netcdf_file(path, "r", mmap=False) as nc:
+        v = nc.variables
+        title = getattr(nc, "TITLE", b"")
+        if isinstance(title, bytes):
+            title = title.decode("ascii", "ignore")
+        version = 0
+        idx = title.find("v20")
+        if idx >= 0:
+            try:
+                version = int(title[idx + 1:idx + 9])
+            except ValueError:
+                raise ValueError(
+                    f"LDASIN file has a perverse version identifier: {title!r}")
+
+        def rd(name):
+            a = v[name][:]
+            a = np.array(a[0] if a.ndim == 3 else a)
+            return np.ascontiguousarray(a, dtype=np.float32)
+
+        out["canwat"] = rd("CANWAT")
+        out["skintemp"] = rd("SKINTEMP")
+        out["weasd"] = _weasd_to_meters(rd("WEASD"), v["WEASD"])
+        fndsnowh = "SNODEP" in v
+        out["snodep"] = (rd("SNODEP") if fndsnowh
+                         else np.zeros_like(out["weasd"]))
+
+        def levels(prefix):
+            src, bot, top = [], [], []
+            for k in range(1, 5):
+                var = v[f"{prefix}_{k}"]
+                src.append(rd(f"{prefix}_{k}"))
+                bot.append(float(np.asarray(var.layer_bottom)))
+                top.append(float(np.asarray(var.layer_top)))
+            return np.stack(src), np.array(bot), np.array(top)
+
+        stemp, bot, top = levels("STEMP")
+        out["stemp"] = init_vertical_interp(sldpth, stemp, bot, top)
+        smois, bot, top = levels("SMOIS")
+        out["smois"] = init_vertical_interp(sldpth, smois, bot, top)
+    return out, fndsnowh, version
+
+
+def read_snow(path):
+    """Standalone snow-field reader (hrldas_readsnow,
+    module_hrldas_netcdf_io.F90:1479-1532): WEASD (normalized to
+    meters) and SNODEP; when SNODEP is absent it is estimated as
+    10x WEASD (:1525-1528).  Returns (weasd_m, snodep_m)."""
+    with netcdf_file(path, "r", mmap=False) as nc:
+        v = nc.variables
+        a = v["WEASD"][:]
+        weasd = np.ascontiguousarray(a[0] if a.ndim == 3 else a,
+                                     dtype=np.float32)
+        weasd = _weasd_to_meters(weasd, v["WEASD"])
+        if "SNODEP" in v:
+            a = v["SNODEP"][:]
+            snodep = np.ascontiguousarray(a[0] if a.ndim == 3 else a,
+                                          dtype=np.float32)
+        else:
+            snodep = weasd * 10.0
+    return weasd, snodep
+
+
 MMF_RUNOFF_VARS = ("ZWT", "EQZWT", "RIVERBED", "RIVERCOND", "PEXP",
                    "FDEPTH")
 

@@ -171,3 +171,42 @@ def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
         lai=mask(xlai), sai=mask(xsai), gpp=mask(gpp), npp=mask(npp),
         nee=mask(nee), autors=mask(autors), heters=mask(heters),
         totsc=mask(totsc), totlb=mask(totlb))
+
+
+def bvocflux(p, vegfrac, apar, tv):
+    """Biogenic VOC emission (BVOCFLUX, module_sf_noahmplsm.F90:
+    9107-9200; Guenther 1999): E = epsilon * gamma * density for 5
+    compound classes -> [ug C m-2 h-1].
+
+    The reference declares this routine but comments it out of the
+    SFLX call tree (:9509); here it is an optional diagnostic.
+    p.eps is the (n, 5) per-column emission-capacity table and
+    p.slarea the specific leaf area, both hydrated from MPTABLE.
+    """
+    R = 8.314
+    alpha, cl1 = 0.0027, 1.066
+    ct1, ct2, ct3 = 95000.0, 230000.0, 0.961
+    tm, tstd, bet = 314.0, 303.0, 0.09
+
+    reciprod = 1.0 / (R * tv * tstd)
+    ct = (jnp.exp(ct1 * (tv - tstd) * reciprod)
+          / (ct3 + jnp.exp(ct2 * (tv - tm) * reciprod)))
+    par = apar * 4.6  # W m-2 -> umol m-2 s-1
+    cl = alpha * cl1 * par * jax_rsqrt1p(alpha * alpha * par * par)
+
+    gamma_iso = cl * ct
+    gamma_rest = jnp.exp(bet * (tv - tstd))
+    gamma = jnp.stack(
+        [gamma_iso] + [gamma_rest] * 4, axis=-1)
+
+    # vegfrac -> ELAI (reference's inverse Beer's-law transform)
+    elai = jnp.maximum(
+        0.0, -6.5 / 2.5 * jnp.log(jnp.maximum(1.0 - vegfrac, 1e-6)))
+    density = elai / (p.slarea * 0.5)
+
+    return p.eps * gamma * density[..., None]
+
+
+def jax_rsqrt1p(x):
+    """(1 + x)**-0.5 guarded for the vmapped vector path."""
+    return jnp.reciprocal(jnp.sqrt(1.0 + x))

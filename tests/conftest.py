@@ -40,14 +40,36 @@ if os.environ.get(_MARK) != "1":
 
     env = dict(os.environ)
     env[_MARK] = "1"
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
     env["JAX_PLATFORMS"] = "cpu"
+    # Persistent compilation cache: the column step is one large XLA
+    # graph compiled once per distinct static config; caching makes
+    # repeat suite runs compile-free.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(repo, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+    argv = [sys.executable, "-m", "pytest"] + sys.argv[1:]
+    # Parallelize compile-bound tests across cores unless the caller
+    # already chose a distribution mode.
+    if not any(a == "-n" or a.startswith("-n=") or a.startswith("--numprocesses")
+               for a in argv):
+        try:
+            import xdist  # noqa: F401
+            ncpu = os.cpu_count() or 1
+            if ncpu > 1:
+                argv += ["-n", str(min(ncpu, 8))]
+        except ImportError:
+            pass
+    os.execve(sys.executable, argv, env)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -322,3 +322,113 @@ def test_forcing_optional_vegfra_lai(tmp_path):
     # third interval: VEGFRA updates, LAI still carried
     out2 = r.read(dates[2], 21600)
     assert np.allclose(out2["VEGFRA"], 0.3) and np.allclose(out2["LAI"], 2.5)
+
+
+def test_legacy_init_reader_and_vertical_interp(tmp_path):
+    """hrldas_init_read_old (:811-948) + hrldas_init_interp (:951-1067):
+    per-level STEMP_k/SMOIS_k with layer_top/layer_bottom attrs are
+    regridded by center-point rules (shallow/deep clamp, near-match
+    copy, linear interpolation)."""
+    ny, nx = 2, 3
+    path = tmp_path / "old_init.nc"
+    # source layers: standard Noah 10/30/60/100 cm
+    tops = [0.0, 0.1, 0.4, 1.0]
+    bots = [0.1, 0.4, 1.0, 2.0]
+    vals_t = [285.0, 286.0, 287.0, 288.0]
+    vals_m = [0.20, 0.25, 0.30, 0.35]
+    with netcdf_file(str(path), "w") as nc:
+        nc.TITLE = b"OUTPUT FROM CONSOLIDATE_GRIB v20120720"
+        nc.createDimension("Time", 1)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("west_east", nx)
+
+        def mk2(name, val, units=None, top=None, bot=None):
+            v = nc.createVariable(name, "f", ("Time", "south_north",
+                                              "west_east"))
+            v[0] = np.full((ny, nx), val, np.float32)
+            if units:
+                v.units = units
+            if top is not None:
+                v.layer_top = np.float32(top)
+                v.layer_bottom = np.float32(bot)
+
+        mk2("CANWAT", 0.1)
+        mk2("SKINTEMP", 290.0)
+        mk2("WEASD", 30.0, units="mm")
+        for k in range(4):
+            mk2(f"STEMP_{k+1}", vals_t[k], top=tops[k], bot=bots[k])
+            mk2(f"SMOIS_{k+1}", vals_m[k], top=tops[k], bot=bots[k])
+
+    # identical destination layering -> near-match copies every level
+    ini, fndsnowh, version = ncio.read_init_legacy(
+        str(path), 4, [0.1, 0.3, 0.6, 1.0])
+    assert version == 20120720
+    assert not fndsnowh
+    assert np.allclose(ini["weasd"], 0.030)
+    for k in range(4):
+        assert np.allclose(ini["stemp"][k], vals_t[k])
+        assert np.allclose(ini["smois"][k], vals_m[k])
+
+    # a shallower/finer destination grid exercises clamp + interp
+    sldpth = [0.02, 0.2, 1.0, 2.0]  # centers 0.01, 0.12, 0.72, 2.22 m
+    out = ncio.init_vertical_interp(
+        sldpth, np.stack([np.full((ny, nx), v, np.float32)
+                          for v in vals_t]),
+        np.array(bots), np.array(tops))
+    assert np.allclose(out[0], vals_t[0])      # shallow clamp
+    assert np.allclose(out[3], vals_t[3])      # deep clamp
+    # 0.12 m lies between source centers 0.05 and 0.25: linear
+    frac = (0.25 - 0.12) / (0.25 - 0.05)
+    assert np.allclose(out[1], vals_t[0] * frac + vals_t[1] * (1 - frac),
+                       atol=1e-5)
+
+
+def test_readsnow(tmp_path):
+    """hrldas_readsnow (:1479-1532): WEASD unit normalization and the
+    SNODEP = 10*WEASD fallback when SNODEP is missing."""
+    path = tmp_path / "snow.nc"
+    ny, nx = 2, 2
+    with netcdf_file(str(path), "w") as nc:
+        nc.createDimension("Time", 1)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("west_east", nx)
+        v = nc.createVariable("WEASD", "f", ("Time", "south_north",
+                                             "west_east"))
+        v[0] = np.full((ny, nx), 40.0, np.float32)
+        v.units = "kg m-2"
+    weasd, snodep = ncio.read_snow(str(path))
+    assert np.allclose(weasd, 0.040)
+    assert np.allclose(snodep, 0.40)
+
+
+def test_cli_main(setup_run, capsys):
+    """python -m noahmp_tpu equivalent of main_hrldas_noahmp.F90."""
+    from noahmp_tpu.__main__ import main
+    tmp, nml, ny, nx = setup_run
+    rc = main([str(nml), "--steps", "2", "--probe"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "***DATE=" in out
+    assert "probe @" in out
+
+
+def test_bvocflux():
+    """BVOCFLUX (module_sf_noahmplsm.F90:9107-9200): emission scales
+    with temperature activity and is zero for zero foliage."""
+    import jax.numpy as jnp
+    from noahmp_tpu.physics.carbon import bvocflux
+
+    class P:
+        slarea = jnp.array([0.0228, 0.0228])
+        eps = jnp.ones((2, 5)) * jnp.array([41.87, 0.98, 1.82, 0.0, 0.0])
+
+    flx_cold = bvocflux(P, jnp.array([0.8, 0.0]), jnp.full(2, 100.0),
+                        jnp.full(2, 290.0))
+    flx_warm = bvocflux(P, jnp.array([0.8, 0.0]), jnp.full(2, 100.0),
+                        jnp.full(2, 303.0))
+    assert flx_cold.shape == (2, 5)
+    # vegfrac=0 -> no foliage -> no emission
+    assert np.allclose(np.asarray(flx_cold)[1], 0.0)
+    # warmer canopy emits more isoprene
+    assert float(flx_warm[0, 0]) > float(flx_cold[0, 0])
+    assert np.isfinite(np.asarray(flx_warm)).all()
