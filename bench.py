@@ -28,22 +28,36 @@ FORTRAN_EST_COL_STEPS_PER_S = 2.0e5
 
 def main():
     from noahmp_tpu.driver.synthetic import synthetic_grid, synthetic_forcing
-    from noahmp_tpu.grid.driver import grid_step
+    from noahmp_tpu.grid.driver import (grid_step, glacier_order,
+                                        glacier_slice_start, GridMasks)
 
     n = 65536
     nsteps = 96          # simulated steps per timed call (4 days at dt=1h)
     nforc = 8            # distinct diurnal forcing snapshots
     cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
 
+    # order glacier columns last -> glacier solver runs on a static
+    # tail slice instead of wasting 11/12 of its vector lanes
+    perm, _ = glacier_order(masks.glacier)
+    permd = jnp.asarray(perm)
+    reorder = lambda tree: jtu.tree_map(
+        lambda x: x[permd] if getattr(x, "ndim", 0) >= 1
+        and x.shape[0] == n else x, tree)
+    params, state, accum = reorder(params), reorder(state), reorder(accum)
+    masks = GridMasks(land=masks.land[permd], glacier=masks.glacier[permd])
+    gidx = glacier_slice_start(masks)
+
     forc_stack = jtu.tree_map(
         lambda *xs: jnp.stack(xs),
-        *[synthetic_forcing(n, hour=24.0 * h / nforc) for h in range(nforc)])
+        *[reorder(synthetic_forcing(n, hour=24.0 * h / nforc))
+          for h in range(nforc)])
 
     def run(params, state, accum, forc_stack):
         def body(carry, t):
             s, a = carry
             f = jtu.tree_map(lambda x: x[t % nforc], forc_stack)
-            s, _, a = grid_step(cfg, params, s, f, masks, a)
+            s, _, a = grid_step(cfg, params, s, f, masks, a,
+                                glacier_idx=gidx)
             return (s, a), ()
 
         (s, a), _ = jax.lax.scan(body, (state, accum),

@@ -26,7 +26,7 @@ from ..state.state import ColumnState, Forcing
 from ..params.tables import load_tables
 from ..params.hydrate import hydrate
 from ..grid.driver import (GridMasks, GridAccum, classify, grid_step,
-                           first_step_guess)
+                           glacier_slice_start, first_step_guess)
 from ..grid.lateral import (MMFState, wtable_mmf, eqsmoisture,
                             groundwater_init)
 from .dates import calc_declin, geth_newdate, parse_date, yearlen
@@ -39,7 +39,13 @@ WTDDT_MINUTES = 30.0  # groundwater cadence (module_hrldas_noahmp_vars.F90:165)
 
 @dataclasses.dataclass
 class LandModel:
-    """A running land model instance over a (ny, nx) domain."""
+    """A running land model instance over a (ny, nx) domain.
+
+    Water/sea-ice columns are COMPACTED away at init (the TPU analogue
+    of the reference's per-cell skip, module_sf_noahmpdrv.F90:434-441):
+    the device state covers only the land columns, and full-grid layout
+    is restored host-side for history/restart files and the MMF 2D
+    stencil.  `land_idx` is None when every cell is land."""
     cfg: NoahMPConfig
     rs: RunSettings
     domain: "ncio.Domain"
@@ -54,8 +60,41 @@ class LandModel:
     stepwtd: int = 1
     forcing_reader: object = None
     history: object = None
+    land_idx: np.ndarray = None      # indices of land columns, or None
     _step_fn: object = None
     _wtd_fn: object = None
+    _land_full: object = None        # full-grid land mask (MMF)
+    _params_full: object = None      # full-grid params (MMF)
+    _full_tmpl: dict = None          # full-grid templates for scatter
+
+    # -- compacted <-> full-grid layout helpers ------------------------
+    @property
+    def n_full(self):
+        return self.domain.ny * self.domain.nx
+
+    def _cp(self, arr):
+        """Gather a full-grid (ny*nx,)-leading host array to the
+        compacted land-column axis."""
+        arr = np.asarray(arr)
+        return arr if self.land_idx is None else arr[self.land_idx]
+
+    def _expand_tree(self, tree, fill=C.UNDEFINED):
+        """Scatter a compacted pytree back to full-grid numpy layout
+        (water cells = fill; int fields = 0)."""
+        if self.land_idx is None:
+            return tree
+        nland = self.land_idx.shape[0]
+
+        def ex(x):
+            x = np.asarray(x)
+            if x.ndim == 0 or x.shape[0] != nland:
+                return x
+            f = 0 if np.issubdtype(x.dtype, np.integer) else fill
+            full = np.full((self.n_full,) + x.shape[1:], f, x.dtype)
+            full[self.land_idx] = x
+            return full
+
+        return jtu.tree_map(ex, tree)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -168,15 +207,54 @@ class LandModel:
                                       for k, v in mf.items()})
             stepwtd = max(int(round(WTDDT_MINUTES * 60.0 / cfg.dt)), 1)
 
+        # ---- land compaction: drop water/sea-ice columns from the
+        # device state (reference skips them per cell, :434-441) and
+        # order the remaining land columns glacier-last so the glacier
+        # solver runs on a static tail slice (grid_step glacier_idx)
+        land_np = np.asarray(masks.land)
+        glacier_np = np.asarray(masks.glacier)
+        land_idx = None
+        params_full = params
+        land_full = masks.land
+        full_tmpl = None
+        if not land_np.all() or glacier_np.any():
+            lnog = np.nonzero(land_np & ~glacier_np)[0]
+            lgl = np.nonzero(land_np & glacier_np)[0]
+            land_idx = np.concatenate([lnog, lgl])
+            idxd = jnp.asarray(land_idx)
+
+            def take(tree):
+                return jtu.tree_map(
+                    lambda x: x[idxd] if (hasattr(x, "ndim") and x.ndim >= 1
+                                          and x.shape[0] == n) else x, tree)
+
+            if cfg.opt_run == 5:
+                # full-grid templates for the MMF 2D stencil scatter
+                full_tmpl = {"zwt": state.zwt, "smc": state.smc,
+                             "sh2o": state.sh2o, "smcwtd": state.smcwtd,
+                             "deeprech": state.deeprech, "rech": state.rech}
+            params, state, accum = take(params), take(state), take(accum)
+            masks = GridMasks(
+                land=jnp.ones(land_idx.shape[0], bool),
+                glacier=jnp.asarray(glacier_np[land_idx]))
+
         m = cls(cfg=cfg, rs=rs, domain=dom, params=params, state=state,
                 masks=masks, accum=accum, date=date, mmf=mmf,
-                smceq=smceq, stepwtd=stepwtd)
+                smceq=smceq, stepwtd=stepwtd, land_idx=land_idx)
+        m._land_full = land_full
+        m._params_full = params_full
+        m._full_tmpl = full_tmpl
         if rs.indir:
             m.forcing_reader = ncio.ForcingReader(rs.indir, rs.input_timestep)
         m.history = ncio.HistoryWriter(rs.outdir, cfg, dom.ny, dom.nx,
                                        vegtyp, soiltyp, dom.iswater)
+        # glacier tail slice when compacted; "auto" on the uncompacted
+        # layout (glaciers interleaved or absent)
+        gidx = (glacier_slice_start(masks) if land_idx is not None
+                else "auto")
         m._step_fn = jax.jit(
-            lambda p, s, f, mk, a: grid_step(cfg, p, s, f, mk, a))
+            lambda p, s, f, mk, a: grid_step(cfg, p, s, f, mk, a,
+                                             glacier_idx=gidx))
         if cfg.opt_run == 5:
             shape = (dom.ny, dom.nx)
             m._wtd_fn = jax.jit(
@@ -195,26 +273,28 @@ class LandModel:
         yl = yearlen(parse_date(self.date).year)
         f32 = jnp.float32
 
+        cp = self._cp   # full-grid -> compacted land-column gather
         if self.forcing_reader is not None:
             epoch = self.itime * int(self.cfg.dt)
             raw = self.forcing_reader.read(self.date, epoch)
-            t2d = raw["T2D"].reshape(n)
-            q2d = raw["Q2D"].reshape(n)
-            psfc = raw["PSFC"].reshape(n)
-            u2d, v2d = raw["U2D"].reshape(n), raw["V2D"].reshape(n)
-            sw, lw = raw["SWDOWN"].reshape(n), raw["LWDOWN"].reshape(n)
-            prcp = raw["RAINRATE"].reshape(n)
+            t2d = cp(raw["T2D"].reshape(n))
+            q2d = cp(raw["Q2D"].reshape(n))
+            psfc = cp(raw["PSFC"].reshape(n))
+            u2d, v2d = cp(raw["U2D"].reshape(n)), cp(raw["V2D"].reshape(n))
+            sw, lw = cp(raw["SWDOWN"].reshape(n)), cp(raw["LWDOWN"].reshape(n))
+            prcp = cp(raw["RAINRATE"].reshape(n))
             # optional vegetation forcing (hrldas_input_read :1238-1255;
             # VEGFRA -> SHDFAC, LAI replaces the state LAI)
-            shdfac = (raw["VEGFRA"].reshape(n) if "VEGFRA" in raw
-                      else np.full(n, 0.8, np.float32))
+            shdfac = (cp(raw["VEGFRA"].reshape(n)) if "VEGFRA" in raw
+                      else np.full(t2d.shape[0], 0.8, np.float32))
             if "LAI" in raw:
                 self.state = dataclasses.replace(
-                    self.state, lai=jnp.asarray(raw["LAI"].reshape(n),
+                    self.state, lai=jnp.asarray(cp(raw["LAI"].reshape(n)),
                                                 jnp.float32))
         else:
             raise ValueError("no forcing source configured (INDIR empty)")
 
+        nc = t2d.shape[0]   # compacted column count
         # Q2D arrives as mixing ratio; driver converts to specific
         # humidity (module_sf_noahmpdrv.F90:458)
         q2 = q2d / (1.0 + q2d)
@@ -222,21 +302,21 @@ class LandModel:
             sfctmp=jnp.asarray(t2d, f32), sfcprs=jnp.asarray(psfc, f32),
             psfc=jnp.asarray(psfc, f32), uu=jnp.asarray(u2d, f32),
             vv=jnp.asarray(v2d, f32), q2=jnp.asarray(q2, f32),
-            qc=jnp.zeros(n, f32), soldn=jnp.asarray(sw, f32),
+            qc=jnp.zeros(nc, f32), soldn=jnp.asarray(sw, f32),
             lwdn=jnp.asarray(lw, f32), prcp=jnp.asarray(prcp, f32),
-            tbot=jnp.asarray(dom.tmn.reshape(n), f32),
-            pblh=jnp.zeros(n, f32),
-            cosz=jnp.asarray(cosz.reshape(n), f32),
-            lat=jnp.asarray(np.deg2rad(dom.xlat.reshape(n)), f32),
-            julian=jnp.full((n,), julian, f32),
-            yearlen=jnp.full((n,), yl, jnp.int32),
+            tbot=jnp.asarray(cp(dom.tmn.reshape(n)), f32),
+            pblh=jnp.zeros(nc, f32),
+            cosz=jnp.asarray(cp(cosz.reshape(n)), f32),
+            lat=jnp.asarray(np.deg2rad(cp(dom.xlat.reshape(n))), f32),
+            julian=jnp.full((nc,), julian, f32),
+            yearlen=jnp.full((nc,), yl, jnp.int32),
             shdfac=jnp.asarray(shdfac, f32),
-            shdmax=jnp.full((n,), 0.9, f32),
+            shdmax=jnp.full((nc,), 0.9, f32),
             co2air=jnp.asarray(C.CO2_FRAC * psfc, f32),
             o2air=jnp.asarray(C.O2_FRAC * psfc, f32),
-            foln=jnp.full((n,), C.FOLN_DEFAULT, f32),
+            foln=jnp.full((nc,), C.FOLN_DEFAULT, f32),
             ficeold=self._ficeold(),
-            smceq=jnp.asarray(self.smceq, f32))
+            smceq=jnp.asarray(cp(self.smceq), f32))
 
     def _ficeold(self):
         """Snow-layer ice fraction from the previous step
@@ -259,17 +339,38 @@ class LandModel:
         self.state, diag, self.accum = self._step_fn(
             self.params, self.state, forcing, self.masks, self.accum)
 
-        # MMF groundwater every STEPWTD steps (:420-436)
+        # MMF groundwater every STEPWTD steps (:420-436).  The stencil
+        # works on the full (ny, nx) grid; with land compaction the
+        # hydrology fields are scattered into full-grid templates and
+        # gathered back (water cells are landmask-gated inside).
         if (self.cfg.opt_run == 5
                 and (self.itime + 1) % self.stepwtd == 0):
             s = self.state
-            (wtd, smc, sh2o, smcwtd, deeprech, self.mmf) = self._wtd_fn(
-                self.params, self.mmf, self.masks.land,
-                jnp.asarray(self.smceq), s.zwt, s.smc, s.sh2o, s.smcwtd,
-                s.deeprech, s.rech)
-            self.state = dataclasses.replace(
-                s, zwt=wtd, smc=smc, sh2o=sh2o, smcwtd=smcwtd,
-                deeprech=deeprech)
+            if self.land_idx is None:
+                (wtd, smc, sh2o, smcwtd, deeprech, self.mmf) = self._wtd_fn(
+                    self.params, self.mmf, self.masks.land,
+                    jnp.asarray(self.smceq), s.zwt, s.smc, s.sh2o,
+                    s.smcwtd, s.deeprech, s.rech)
+                self.state = dataclasses.replace(
+                    s, zwt=wtd, smc=smc, sh2o=sh2o, smcwtd=smcwtd,
+                    deeprech=deeprech)
+            else:
+                idxd = jnp.asarray(self.land_idx)
+                tm = self._full_tmpl
+
+                def scat(tmpl, comp):
+                    return tmpl.at[idxd].set(comp)
+
+                (wtd, smc, sh2o, smcwtd, deeprech, self.mmf) = self._wtd_fn(
+                    self._params_full, self.mmf, self._land_full,
+                    jnp.asarray(self.smceq),
+                    scat(tm["zwt"], s.zwt), scat(tm["smc"], s.smc),
+                    scat(tm["sh2o"], s.sh2o), scat(tm["smcwtd"], s.smcwtd),
+                    scat(tm["deeprech"], s.deeprech),
+                    scat(tm["rech"], s.rech))
+                self.state = dataclasses.replace(
+                    s, zwt=wtd[idxd], smc=smc[idxd], sh2o=sh2o[idxd],
+                    smcwtd=smcwtd[idxd], deeprech=deeprech[idxd])
 
         jax.block_until_ready(self.state.tg)
         t2 = time.perf_counter()
@@ -280,7 +381,9 @@ class LandModel:
         # output / restart cadence (:440-592)
         epoch = self.itime * int(self.cfg.dt)
         if self.rs.output_timestep > 0 and epoch % self.rs.output_timestep == 0:
-            self.history.write(self.date, self.state, diag, self.accum)
+            self.history.write(self.date, self._expand_tree(self.state),
+                               self._expand_tree(diag),
+                               self._expand_tree(self.accum))
         if self.rs.restart_timestep > 0 and epoch % self.rs.restart_timestep == 0:
             self.write_restart()
 
@@ -333,7 +436,8 @@ class LandModel:
             .replace("_", "T")
         path = Path(self.rs.resdir) / f"restart.{compact}.nc"
         path.parent.mkdir(parents=True, exist_ok=True)
-        ncio.write_restart(str(path), self.cfg, self.date, self.state,
-                           self.accum, self.domain.ny, self.domain.nx,
-                           mmf=self.mmf)
+        ncio.write_restart(str(path), self.cfg, self.date,
+                           self._expand_tree(self.state),
+                           self._expand_tree(self.accum),
+                           self.domain.ny, self.domain.nx, mmf=self.mmf)
         return str(path)

@@ -22,7 +22,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from noahmp_tpu.driver.synthetic import synthetic_grid  # noqa: E402
-from noahmp_tpu.grid.driver import grid_step  # noqa: E402
+from noahmp_tpu.grid.driver import (grid_step, glacier_order,  # noqa: E402
+                                    glacier_slice_start, GridMasks)
 from noahmp_tpu.state.state import Forcing  # noqa: E402
 
 
@@ -62,12 +63,23 @@ def main():
     years = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
     cfg, params, state, masks, accum, lat, _ = synthetic_grid(n)
-    lat = jnp.asarray(lat)
+    # glacier columns last -> static-slice glacier path
+    import jax.tree_util as jtu
+    perm, _ = glacier_order(masks.glacier)
+    permd = jnp.asarray(perm)
+    reorder = lambda tree: jtu.tree_map(
+        lambda x: x[permd] if getattr(x, "ndim", 0) >= 1
+        and x.shape[0] == n else x, tree)
+    params, state, accum = reorder(params), reorder(state), reorder(accum)
+    masks = GridMasks(land=masks.land[permd], glacier=masks.glacier[permd])
+    lat = jnp.asarray(lat)[permd]
+    gidx = glacier_slice_start(masks)
 
     def hour_step(carry, hour):
         s, a, worst = carry
         f = forcing_at(hour.astype(jnp.float32), n, lat)
-        s2, d, a2 = grid_step(cfg, params, s, f, masks, a)
+        s2, d, a2 = grid_step(cfg, params, s, f, masks, a,
+                              glacier_idx=gidx)
         ok = jnp.abs(d.errwat) < 1e10  # skip UNDEFINED fill on non-land
         w = (jnp.maximum(worst[0], jnp.max(jnp.where(ok, jnp.abs(d.errsw), 0.0))),
              jnp.maximum(worst[1], jnp.max(jnp.where(ok, jnp.abs(d.erreng), 0.0))),

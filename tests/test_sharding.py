@@ -68,3 +68,66 @@ def test_lateralflow_halo_across_shards():
 
     np.testing.assert_allclose(q8, q1, rtol=1e-6, atol=1e-12)
     assert np.abs(q1).max() > 0.0, "stencil produced no flow"
+
+
+def test_compacted_glacier_path_matches_auto():
+    """The compacted glacier path (glacier columns ordered last, solved
+    as a static tail slice) must match the full-width masked path, and
+    must also run under an 8-device column sharding."""
+    import numpy as np
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from noahmp_tpu.driver.synthetic import synthetic_grid, synthetic_forcing
+    from noahmp_tpu.grid.driver import (grid_step, glacier_order,
+                                        glacier_slice_start, GridMasks)
+
+    n = 192
+    cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
+    f = synthetic_forcing(n, hour=12.0)
+
+    perm, inv = glacier_order(masks.glacier)
+    permd, invd = jnp.asarray(perm), jnp.asarray(inv)
+    reorder = lambda tree, ix: jtu.tree_map(
+        lambda x: x[ix] if getattr(x, "ndim", 0) >= 1
+        and x.shape[0] == n else x, tree)
+    pparams, pstate, paccum, pf = (reorder(params, permd),
+                                   reorder(state, permd),
+                                   reorder(accum, permd), reorder(f, permd))
+    pmasks = GridMasks(land=masks.land[permd], glacier=masks.glacier[permd])
+    gi = glacier_slice_start(pmasks)
+    assert gi == n - n // 12
+
+    s1, d1, a1 = jax.jit(
+        lambda: grid_step(cfg, params, state, f, masks, accum))()
+    s2p, d2p, a2p = jax.jit(
+        lambda: grid_step(cfg, pparams, pstate, pf, pmasks, paccum,
+                          glacier_idx=gi))()
+    # un-permute the compacted results back to the original layout
+    s2, d2, a2 = (reorder(s2p, invd), reorder(d2p, invd),
+                  reorder(a2p, invd))
+    # compaction changes the glacier batch shape, so XLA fusion order
+    # differs by ulps; tolerances reflect float32 reassociation only
+    for name in s1.__dataclass_fields__:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name)),
+            rtol=2e-5, atol=1e-5, err_msg=name)
+    # diag atol covers the err* closure residuals, which are machine
+    # noise around zero (vs the model's own 0.01 W/m2 check tolerance)
+    for name in d1._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(d1, name)), np.asarray(getattr(d2, name)),
+            rtol=2e-5, atol=1e-4, err_msg=name)
+
+    # and under a column-sharded mesh
+    from noahmp_tpu.grid.sharding import make_mesh, shard_columns
+    mesh = make_mesh(jax.devices()[:8])
+    sp = shard_columns(pparams, mesh)
+    ss = shard_columns(pstate, mesh)
+    sf = shard_columns(pf, mesh)
+    sm = shard_columns(pmasks, mesh)
+    sa = shard_columns(paccum, mesh)
+    s3, d3, a3 = jax.jit(
+        lambda p, s, fo, m, a: grid_step(cfg, p, s, fo, m, a,
+                                         glacier_idx=gi))(sp, ss, sf, sm, sa)
+    np.testing.assert_allclose(np.asarray(s3.tg)[inv], np.asarray(s1.tg),
+                               rtol=1e-6)
