@@ -66,6 +66,48 @@ class LandModel:
     _land_full: object = None        # full-grid land mask (MMF)
     _params_full: object = None      # full-grid params (MMF)
     _full_tmpl: dict = None          # full-grid templates for scatter
+    _io_queue: object = None         # async history/restart writer
+    _io_thread: object = None
+    _io_error: object = None
+
+    # -- async file output ---------------------------------------------
+    # History/restart writes run on a daemon thread so the device can
+    # start the next step while NetCDF encodes (the reference blocks
+    # the whole run on its io-rank gather+write, SURVEY §3.4; its
+    # checkpoint cadence is the fault-tolerance story, §5.3).  The
+    # expensive device->host transfer still happens on the step thread
+    # (numpy conversion in _expand_tree); only file encoding overlaps.
+    def _submit_io(self, fn, *args):
+        import queue as _queue
+        import threading as _threading
+        if self._io_error is not None:
+            err, self._io_error = self._io_error, None
+            raise err
+        if self._io_queue is None:
+            self._io_queue = _queue.Queue(maxsize=4)
+
+            def drain():
+                while True:
+                    item = self._io_queue.get()
+                    try:
+                        if item is not None:
+                            item[0](*item[1])
+                    except Exception as e:   # surfaced on next submit/flush
+                        self._io_error = e
+                    finally:
+                        self._io_queue.task_done()
+
+            self._io_thread = _threading.Thread(target=drain, daemon=True)
+            self._io_thread.start()
+        self._io_queue.put((fn, args))
+
+    def flush_io(self):
+        """Block until all queued history/restart writes hit disk."""
+        if self._io_queue is not None:
+            self._io_queue.join()
+        if self._io_error is not None:
+            err, self._io_error = self._io_error, None
+            raise err
 
     # -- compacted <-> full-grid layout helpers ------------------------
     @property
@@ -381,11 +423,12 @@ class LandModel:
         # output / restart cadence (:440-592)
         epoch = self.itime * int(self.cfg.dt)
         if self.rs.output_timestep > 0 and epoch % self.rs.output_timestep == 0:
-            self.history.write(self.date, self._expand_tree(self.state),
-                               self._expand_tree(diag),
-                               self._expand_tree(self.accum))
+            self._submit_io(self.history.write, self.date,
+                            self._expand_tree(self.state),
+                            self._expand_tree(diag),
+                            self._expand_tree(self.accum))
         if self.rs.restart_timestep > 0 and epoch % self.rs.restart_timestep == 0:
-            self.write_restart()
+            self.write_restart(_async=True)
 
         if verbose:
             print(f"***DATE={self.date}  Timing: {t2 - t0:.3f}s "
@@ -403,9 +446,11 @@ class LandModel:
             with jax.profiler.trace(str(profile_dir)):
                 for _ in range(nsteps):
                     last = self.step(verbose=verbose)
+            self.flush_io()
             return last
         for _ in range(nsteps):
             last = self.step(verbose=verbose)
+        self.flush_io()
         return last
 
     def probe(self, file=None):
@@ -431,13 +476,20 @@ class LandModel:
                   f"max={sel.max():14.6g} mean={sel.mean():14.6g}",
                   file=out)
 
-    def write_restart(self):
+    def write_restart(self, _async=False):
         compact = self.date.replace("-", "").replace(":", "") \
             .replace("_", "T")
         path = Path(self.rs.resdir) / f"restart.{compact}.nc"
         path.parent.mkdir(parents=True, exist_ok=True)
-        ncio.write_restart(str(path), self.cfg, self.date,
-                           self._expand_tree(self.state),
-                           self._expand_tree(self.accum),
-                           self.domain.ny, self.domain.nx, mmf=self.mmf)
+        args = (str(path), self.cfg, self.date,
+                self._expand_tree(self.state),
+                self._expand_tree(self.accum),
+                self.domain.ny, self.domain.nx)
+        mmf_now = self.mmf   # snapshot: the writer thread runs later
+        if _async:
+            self._submit_io(
+                lambda *a, _m=mmf_now: ncio.write_restart(*a, mmf=_m),
+                *args)
+        else:
+            ncio.write_restart(*args, mmf=mmf_now)
         return str(path)
