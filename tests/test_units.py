@@ -168,3 +168,51 @@ def test_snow_age_bounds():
                              jnp.asarray(100.0), jnp.asarray(101.0),
                              jnp.asarray(0.5))
     assert float(tauss2) < 0.5  # fresh snow rejuvenates the surface
+
+
+def test_glacier_order_and_slice():
+    """glacier_order puts land-ice columns last as a stable permutation;
+    glacier_slice_start validates tail contiguity."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from noahmp_tpu.grid.driver import (GridMasks, glacier_order,
+                                        glacier_slice_start)
+
+    g = np.array([0, 1, 0, 0, 1, 0], bool)
+    perm, inv = glacier_order(g)
+    assert list(perm) == [0, 2, 3, 5, 1, 4]
+    assert (perm[inv] == np.arange(6)).all()
+    masks = GridMasks(land=jnp.ones(6, bool), glacier=jnp.asarray(g[perm]))
+    assert glacier_slice_start(masks) == 4
+    # interleaved glaciers must be rejected
+    bad = GridMasks(land=jnp.ones(6, bool), glacier=jnp.asarray(g))
+    with pytest.raises(ValueError):
+        glacier_slice_start(bad)
+    # no glaciers -> None
+    none = GridMasks(land=jnp.ones(6, bool),
+                     glacier=jnp.zeros(6, bool))
+    assert glacier_slice_start(none) is None
+
+
+def test_land_compaction_roundtrip():
+    """LandModel._cp gathers full-grid arrays to the compacted land
+    axis and _expand_tree scatters back (water cells = fill)."""
+    import numpy as np
+    from noahmp_tpu.driver.model import LandModel
+
+    m = object.__new__(LandModel)  # helpers only need these attrs
+    m.land_idx = np.array([1, 3, 4])
+    m.domain = type("D", (), {"ny": 1, "nx": 6})()
+
+    full = np.arange(6, dtype=np.float32) * 10.0
+    comp = m._cp(full)
+    assert list(comp) == [10.0, 30.0, 40.0]
+    back = m._expand_tree(comp, fill=-9.0)
+    assert list(back) == [-9.0, 10.0, -9.0, 30.0, 40.0, -9.0]
+    # int fields expand with 0 fill; 2-D fields keep trailing axes
+    iarr = np.array([1, 2, 3], np.int32)
+    assert list(m._expand_tree(iarr)) == [0, 1, 0, 2, 3, 0]
+    two = np.arange(6, dtype=np.float32).reshape(3, 2)
+    out = m._expand_tree(two, fill=0.0)
+    assert out.shape == (6, 2) and (out[3] == two[1]).all()
