@@ -216,3 +216,127 @@ def test_land_compaction_roundtrip():
     two = np.arange(6, dtype=np.float32).reshape(3, 2)
     out = m._expand_tree(two, fill=0.0)
     assert out.shape == (6, 2) and (out[3] == two[1]).all()
+
+
+def _mkpack(nsnow=3, nsoil=4, **kw):
+    import jax.numpy as jnp
+    from noahmp_tpu.physics.snow import SnowPack
+    f = jnp.float32
+    d = dict(isnow=jnp.int32(0), snice=jnp.zeros(nsnow, f),
+             snliq=jnp.zeros(nsnow, f), stc_sn=jnp.full(nsnow, 270.0, f),
+             dz_sn=jnp.zeros(nsnow, f), sneqv=f(0.0), snowh=f(0.0),
+             sice=jnp.zeros(nsoil, f), sh2o=jnp.full(nsoil, 0.3, f),
+             ponding1=f(0.0), ponding2=f(0.0))
+    d.update({k: (jnp.asarray(v, f) if k != "isnow" else jnp.int32(v))
+              for k, v in kw.items()})
+    return SnowPack(**d)
+
+
+def test_csnow_yen_conductivity():
+    """CSNOW (:1957-2012): tksno = 3.2217e-6 * bulk_density^2 (Yen 65);
+    heat capacity is the ice/liquid volumetric mix."""
+    import numpy as np
+    import jax.numpy as jnp
+    from noahmp_tpu.physics.thermal import csnow
+    from noahmp_tpu import constants as C
+
+    snice = jnp.array([0.0, 20.0, 40.0], jnp.float32)   # mm
+    snliq = jnp.array([0.0, 2.0, 4.0], jnp.float32)
+    dz = jnp.array([0.0, 0.10, 0.20], jnp.float32)
+    th = csnow(jnp.int32(-2), snice, snliq, dz, 3)
+    bd1 = (20.0 + 2.0) / 0.10
+    assert np.isclose(float(th.tksno[1]), 3.2217e-6 * bd1**2, rtol=1e-5)
+    snicev = 20.0 / (0.10 * C.DENICE)
+    snliqv = 2.0 / (0.10 * C.DENH2O)
+    assert np.isclose(float(th.cvsno[1]),
+                      C.CICE * snicev + C.CWAT * snliqv, rtol=1e-5)
+    # inactive top layer (isnow=-2 -> only bottom 2 active) stays zero
+    assert float(th.tksno[0]) == 0.0
+
+
+def test_tdfcnd_johansen():
+    """TDFCND (:2014-2118): dry and saturated limits of the Johansen
+    conductivity, Kersten interpolation in between."""
+    import numpy as np
+    import jax.numpy as jnp
+    from noahmp_tpu.physics.thermal import tdfcnd
+    from noahmp_tpu import constants as C
+
+    class P:
+        smcmax = jnp.float32(0.45)
+        quartz = jnp.float32(0.25)
+
+    gammd = (1.0 - 0.45) * 2700.0
+    thkdry = (0.135 * gammd + 64.7) / (2700.0 - 0.947 * gammd)
+    # near-dry soil -> dry conductivity (satratio < 0.1 -> ake = 0)
+    df_dry = float(tdfcnd(P, jnp.float32(0.02), jnp.float32(0.02)))
+    assert np.isclose(df_dry, thkdry, rtol=1e-5)
+    # saturated unfrozen soil -> thksat
+    thks = (7.7 ** 0.25) * (2.0 ** 0.75)
+    thksat = (thks ** (1 - 0.45)) * (0.57 ** 0.45)
+    df_sat = float(tdfcnd(P, jnp.float32(0.45), jnp.float32(0.45)))
+    assert np.isclose(df_sat, thksat, rtol=1e-4)
+    # frozen soil conducts better than unfrozen at the same moisture
+    df_frz = float(tdfcnd(P, jnp.float32(0.45), jnp.float32(0.1)))
+    assert df_frz > df_sat * 0.9  # ice conductivity dominates
+
+
+def test_snowalb_bats_and_class():
+    """SNOWALB_BATS (:2599-2650): fresh snow 0.95/0.65 vis/nir diffuse,
+    aging and zenith corrections; SNOWALB_CLASS (:2652-2701): e-folding
+    toward 0.55 and refresh toward 0.84 by new snowfall."""
+    import numpy as np
+    import jax.numpy as jnp
+    from noahmp_tpu.physics.radiation import snowalb_bats, snowalb_class
+
+    albsnd, albsni = snowalb_bats(jnp.float32(1.0), jnp.float32(1.0),
+                                  jnp.float32(0.0))
+    assert np.allclose(np.asarray(albsni), [0.95, 0.65])
+    # high sun (cosz=1): cf1 = (1+0.5)/(1+4) - 0.5 < 0 -> no zenith term
+    assert np.allclose(np.asarray(albsnd), np.asarray(albsni))
+    # low sun brightens the direct albedo
+    albsnd_lo, _ = snowalb_bats(jnp.float32(1.0), jnp.float32(0.1),
+                                jnp.float32(0.0))
+    assert (np.asarray(albsnd_lo) > np.asarray(albsnd)).all()
+    # aged snow is darker
+    _, albsni_old = snowalb_bats(jnp.float32(1.0), jnp.float32(1.0),
+                                 jnp.float32(0.5))
+    assert (np.asarray(albsni_old) < np.asarray(albsni)).all()
+
+    # CLASS: no snowfall -> decay toward 0.55
+    alb, _, _ = snowalb_class(jnp.float32(0.0), 3600.0, jnp.float32(0.84))
+    assert np.isclose(float(alb), 0.55 + (0.84 - 0.55) * np.exp(-0.01),
+                      rtol=1e-5)
+    # heavy fresh snowfall -> refresh to 0.84
+    alb2, _, _ = snowalb_class(jnp.float32(1.0), 3600.0, jnp.float32(0.6))
+    assert np.isclose(float(alb2), 0.84, atol=1e-3)
+
+
+def test_snowfall_layer_creation():
+    """SNOWFALL (:6998-7063): layer-less accumulation until SNOWH >=
+    0.025 m creates the first layer with TSNO=min(273.16, SFCTMP)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from noahmp_tpu.config import NoahMPConfig
+    from noahmp_tpu.physics.snow import snowfall
+
+    cfg = NoahMPConfig()
+    qsnow = jnp.float32(0.005)        # mm/s SWE
+    snowhin = jnp.float32(5e-6)       # m/s depth
+    # below threshold: stays layer-less
+    pk = _mkpack(snowh=0.004, sneqv=4.0)
+    out = snowfall(cfg, pk, qsnow, snowhin, jnp.float32(268.0))
+    assert int(out.isnow) == 0
+    assert np.isclose(float(out.snowh), 0.004 + 5e-6 * cfg.dt)
+    # crossing 0.025 m: first layer appears at the bottom slot
+    pk = _mkpack(snowh=0.024, sneqv=10.0)
+    out = snowfall(cfg, pk, qsnow, snowhin, jnp.float32(268.0))
+    assert int(out.isnow) == -1
+    assert np.isclose(float(out.dz_sn[2]), 0.024 + 5e-6 * cfg.dt)
+    assert np.isclose(float(out.snice[2]), 10.0 + 0.005 * cfg.dt)
+    assert float(out.stc_sn[2]) == 268.0
+    # snowfall onto an existing pack adds to the top active layer
+    pk = _mkpack(isnow=-1, snowh=0.05, sneqv=20.0,
+                 snice=[0.0, 0.0, 20.0], dz_sn=[0.0, 0.0, 0.05])
+    out = snowfall(cfg, pk, qsnow, snowhin, jnp.float32(268.0))
+    assert np.isclose(float(out.snice[2]), 20.0 + 0.005 * cfg.dt)
