@@ -665,7 +665,12 @@ def read_restart(path, cfg, ny, nx):
     accum_fields = {}
     with netcdf_file(path, "r", mmap=False) as nc:
         date_str = b"".join(nc.variables["Times"][0]).decode()
+        # absent optional fields are skipped, like the reference's
+        # checkRstV existence probe (:135-150); the driver back-fills
+        # them from the cold-start defaults
         for (ncname, field, kind) in RESTART_FIELDS:
+            if ncname not in nc.variables:
+                continue
             a = np.array(nc.variables[ncname][0])
             a = np.ascontiguousarray(
                 a, dtype=np.int32 if kind == "int2d" else np.float32)
@@ -674,6 +679,8 @@ def read_restart(path, cfg, ny, nx):
             else:
                 state_fields[field] = a.transpose(1, 2, 0).reshape(n, -1)
         for (ncname, field) in RESTART_ACCUM:
+            if ncname not in nc.variables:
+                continue
             accum_fields[field] = np.ascontiguousarray(
                 nc.variables[ncname][0], dtype=np.float32).reshape(n)
         mmf_fields = {}
@@ -682,7 +689,10 @@ def read_restart(path, cfg, ny, nx):
                 mmf_fields[field] = np.ascontiguousarray(
                     nc.variables[ncname][0], dtype=np.float32).reshape(n)
     # reassemble stc
-    stc = np.concatenate([state_fields.pop("stc_snow"),
-                          state_fields.pop("stc_soil")], axis=1)
-    state_fields["stc"] = stc
+    if "stc_snow" in state_fields and "stc_soil" in state_fields:
+        stc = np.concatenate([state_fields.pop("stc_snow"),
+                              state_fields.pop("stc_soil")], axis=1)
+        state_fields["stc"] = stc
+    for _, field in RESTART_ACCUM:
+        accum_fields.setdefault(field, np.zeros(n, np.float32))
     return date_str, state_fields, accum_fields, mmf_fields
