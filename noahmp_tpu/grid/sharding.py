@@ -8,6 +8,12 @@ scatter/gather :645-857).  TPU-native mapping (SURVEY §5.8): a 1-D
 only cross-column coupling (the MMF lateral-flow stencil) keeps the 2-D
 (y, x) layout and halo-exchanges rows via ``ppermute`` in
 ``noahmp_tpu.grid.lateral``.
+
+The reference's WRF-coupler topology discovery
+(mpp/module_cpl_land.F90:23-87 — each rank gossips its tile extents and
+matches neighbors) has no TPU analogue to implement: ``Mesh``
+construction IS the topology, and neighbor relationships are implied by
+sharding specs, so that component is subsumed by ``make_mesh``.
 """
 
 from __future__ import annotations
