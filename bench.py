@@ -86,6 +86,9 @@ def main():
         "value": round(col_steps_per_s, 1),
         "unit": "columns*steps/s",
         "vs_baseline": round(col_steps_per_s / FORTRAN_EST_COL_STEPS_PER_S, 2),
+        "baseline_note": ("estimate: 2e5 col*steps/s single-core Fortran "
+                          "(no measured noahmp.exe run; no Fortran "
+                          "toolchain in this image)"),
     }))
 
 

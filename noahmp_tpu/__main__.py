@@ -20,9 +20,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None,
                    help="override the number of timesteps (default: "
                         "ntime from KDAY/KHOUR)")
-    p.add_argument("--table-dir", default="/root/reference/run",
+    p.add_argument("--table-dir", default=None,
                    help="directory holding MPTABLE/SOILPARM/VEGPARM/"
-                        "GENPARM .TBL files")
+                        "GENPARM .TBL files (default: the vendored "
+                        "noahmp_tpu/run_assets tables)")
     p.add_argument("--quiet", action="store_true",
                    help="suppress the per-step timing heartbeat")
     p.add_argument("--profile", metavar="DIR", default=None,
@@ -30,6 +31,13 @@ def main(argv=None):
     p.add_argument("--probe", action="store_true",
                    help="dump per-field state statistics after the run "
                         "(hrldas_noahmp_vars_probe equivalent)")
+    p.add_argument("--check-every", type=int, default=1,
+                   help="conservation-guard cadence in steps (default 1, "
+                        "matching the reference's per-step ERROR checks)")
+    p.add_argument("--check-mode", choices=["abort", "warn", "off"],
+                   default="abort",
+                   help="on conservation violation: abort (reference "
+                        "behavior), warn, or skip the check")
     args = p.parse_args(argv)
 
     from noahmp_tpu.driver.namelist import read_namelist
@@ -37,6 +45,8 @@ def main(argv=None):
 
     cfg, rs = read_namelist(args.namelist)
     model = LandModel.from_namelist(cfg, rs, table_dir=args.table_dir)
+    model.check_every = args.check_every
+    model.check_mode = args.check_mode
     nsteps = args.steps if args.steps is not None else rs.ntime
     model.run(nsteps, verbose=not args.quiet, profile_dir=args.profile)
     if args.probe:

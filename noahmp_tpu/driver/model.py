@@ -36,6 +36,17 @@ from ..io import netcdf_io as ncio
 
 WTDDT_MINUTES = 30.0  # groundwater cadence (module_hrldas_noahmp_vars.F90:165)
 
+# reference ERROR tolerances (module_sf_noahmplsm.F90:1164-1223)
+SW_TOL = 0.01      # W/m2
+ENG_TOL = 0.01     # W/m2
+WAT_TOL = 0.1      # mm per step
+
+
+class ConservationError(RuntimeError):
+    """Raised when a step violates the reference's fatal conservation
+    tolerances (the TPU analogue of ERROR's wrf_error_fatal aborts,
+    module_sf_noahmplsm.F90:1164-1223)."""
+
 
 @dataclasses.dataclass
 class LandModel:
@@ -61,7 +72,10 @@ class LandModel:
     forcing_reader: object = None
     history: object = None
     land_idx: np.ndarray = None      # indices of land columns, or None
+    check_every: int = 1             # conservation-guard cadence (steps)
+    check_mode: str = "abort"        # "abort" | "warn" | "off"
     _step_fn: object = None
+    _errmax_fn: object = None
     _wtd_fn: object = None
     _land_full: object = None        # full-grid land mask (MMF)
     _params_full: object = None      # full-grid params (MMF)
@@ -140,8 +154,11 @@ class LandModel:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_namelist(cls, cfg, rs: RunSettings, table_dir="/root/reference/run"):
+    def from_namelist(cls, cfg, rs: RunSettings, table_dir=None):
         """land_driver_init (:89-306)."""
+        if table_dir is None:
+            from ..params import default_table_dir
+            table_dir = default_table_dir()
         dom = ncio.read_domain(rs.const_file)
         n = dom.ny * dom.nx
         # the domain file's MMINLU attribute picks the landuse scheme
@@ -414,6 +431,13 @@ class LandModel:
                     s, zwt=wtd[idxd], smc=smc[idxd], sh2o=sh2o[idxd],
                     smcwtd=smcwtd[idxd], deeprech=deeprech[idxd])
 
+        # conservation guard (reference ERROR aborts every step,
+        # module_sf_noahmplsm.F90:1164-1223; here a fused device-side
+        # max-reduction every check_every steps, then one tiny readback)
+        if (self.check_mode != "off"
+                and (self.itime + 1) % max(self.check_every, 1) == 0):
+            self._check_conservation(diag)
+
         jax.block_until_ready(self.state.tg)
         t2 = time.perf_counter()
 
@@ -434,6 +458,31 @@ class LandModel:
             print(f"***DATE={self.date}  Timing: {t2 - t0:.3f}s "
                   f"SFLX: {t2 - t1:.3f}s", flush=True)
         return diag
+
+    def _check_conservation(self, diag):
+        """ERROR (:1106-1228): SW/energy/water closure at the reference
+        tolerances over land columns; abort or warn per check_mode."""
+        if self._errmax_fn is None:
+            def errmax(d, land):
+                g = lambda e: jnp.max(jnp.abs(jnp.where(land, e, 0.0)))
+                return g(d.errsw), g(d.erreng), g(d.errwat)
+            self._errmax_fn = jax.jit(errmax)
+        esw, een, ewa = self._errmax_fn(diag, self.masks.land)
+        esw, een, ewa = float(esw), float(een), float(ewa)
+        msgs = []
+        if esw > SW_TOL:
+            msgs.append(f"SW radiation budget |err|={esw:.4g} W/m2 "
+                        f"> {SW_TOL}")
+        if een > ENG_TOL:
+            msgs.append(f"energy budget |err|={een:.4g} W/m2 > {ENG_TOL}")
+        if ewa > WAT_TOL:
+            msgs.append(f"water budget |err|={ewa:.4g} mm > {WAT_TOL}")
+        if msgs:
+            msg = (f"conservation violated at {self.date} "
+                   f"(itime={self.itime}): " + "; ".join(msgs))
+            if self.check_mode == "abort":
+                raise ConservationError(msg)
+            print(f"WARNING: {msg}", flush=True)
 
     def run(self, nsteps=None, verbose=False, profile_dir=None):
         """Integrate nsteps.  With profile_dir, wrap the loop in a

@@ -13,13 +13,12 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from ..config import NoahMPConfig
+from ..params import default_table_dir
 from ..params.tables import load_tables
 from ..params.hydrate import hydrate
 from ..state.state import Forcing
 from ..driver.init import cold_start
 from ..grid.driver import GridMasks, GridAccum
-
-TABLE_DIR = "/root/reference/run"
 
 # a deterministic mixed-biome assignment (USGS categories)
 _VEG_CYCLE = np.array([7, 11, 14, 2, 8, 15, 5, 19, 10, 24, 7, 13])
@@ -27,10 +26,10 @@ _SOIL_CYCLE = np.array([3, 8, 12, 4, 6, 1, 9, 11, 2, 16, 7, 5])
 
 
 def synthetic_grid(n_cols: int, cfg: NoahMPConfig = None,
-                   table_dir: str = TABLE_DIR, with_glacier: bool = True):
+                   table_dir: str = None, with_glacier: bool = True):
     """Returns (cfg, params, state, masks, accum, lat, lon)."""
     cfg = cfg or NoahMPConfig()
-    tables = load_tables(table_dir, cfg.llanduse)
+    tables = load_tables(table_dir or default_table_dir(), cfg.llanduse)
     idx = np.arange(n_cols)
     vegtyp = _VEG_CYCLE[idx % len(_VEG_CYCLE)].copy()
     soiltyp = _SOIL_CYCLE[idx % len(_SOIL_CYCLE)].copy()

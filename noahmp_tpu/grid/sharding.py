@@ -6,8 +6,10 @@ scatter/gather :645-857).  TPU-native mapping (SURVEY §5.8): a 1-D
 ``Mesh`` over all chips with the flattened column axis sharded via
 ``NamedSharding(P("col"))``; XLA inserts any needed collectives.  The
 only cross-column coupling (the MMF lateral-flow stencil) keeps the 2-D
-(y, x) layout and halo-exchanges rows via ``ppermute`` in
-``noahmp_tpu.grid.lateral``.
+(y, x) layout as auto-sharded ``jnp.roll`` shifts in
+``noahmp_tpu.grid.lateral`` — XLA lowers the wrap-around row shifts to
+collective-permutes at shard seams (equivalence with a single device is
+pinned by tests/test_sharding.py).
 
 The reference's WRF-coupler topology discovery
 (mpp/module_cpl_land.F90:23-87 — each rank gossips its tile extents and

@@ -6,9 +6,8 @@ stability carry become `lax.fori_loop`s with per-column convergence
 latches (the Fortran LITER mechanism :3484-3489), so the vectorized
 solve bit-tracks the reference's early-exit semantics.
 
-Only OPT_SFC=1 (M-O, SFCDIF1) and OPT_SFC=2 (Chen97, SFCDIF2) are wired;
-3/4 (MYJ/YSU) follow the same dispatch and are added with the
-surface-layer scheme ports.
+All four OPT_SFC schemes are wired: 1 (M-O, SFCDIF1), 2 (Chen97,
+SFCDIF2), 3 (MYJ, sfcdif3) and 4 (YSU-consistent, sfcdif4).
 """
 
 from __future__ import annotations

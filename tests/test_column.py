@@ -19,7 +19,8 @@ from noahmp_tpu.config import NoahMPConfig
 from noahmp_tpu.state.state import initial_column_state, Forcing
 from noahmp_tpu.physics.sflx import noahmp_sflx
 
-RUN = "/root/reference/run"
+from noahmp_tpu.params import default_table_dir
+RUN = default_table_dir()
 f32 = jnp.float32
 
 

@@ -432,3 +432,35 @@ def test_bvocflux():
     # warmer canopy emits more isoprene
     assert float(flx_warm[0, 0]) > float(flx_cold[0, 0])
     assert np.isfinite(np.asarray(flx_warm)).all()
+
+
+def test_conservation_guard_aborts_on_leak(setup_run):
+    """The driver must refuse to integrate a step that violates the
+    reference's fatal conservation tolerances (ERROR,
+    module_sf_noahmplsm.F90:1164-1223).  A water leak is injected by
+    wrapping the jitted step to report a 1 mm water-budget residual."""
+    from noahmp_tpu.driver.model import LandModel, ConservationError
+    tmp_path, nml, ny, nx = setup_run
+    cfg, rs = read_namelist(str(nml))
+
+    m = LandModel.from_namelist(cfg, rs)
+    m.run(nsteps=2)          # clean steps pass the per-step guard
+
+    inner = m._step_fn
+
+    def leaky(p, s, f, mk, a):
+        s2, diag, a2 = inner(p, s, f, mk, a)
+        diag = diag._replace(errwat=diag.errwat + 1.0)
+        return s2, diag, a2
+
+    m._step_fn = leaky
+    with pytest.raises(ConservationError, match="water budget"):
+        m.step()
+
+    # warn mode logs instead of raising
+    m.check_mode = "warn"
+    m.step()
+
+    # off mode skips the check entirely
+    m.check_mode = "off"
+    m.step()

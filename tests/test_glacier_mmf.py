@@ -16,7 +16,8 @@ from noahmp_tpu.grid.lateral import (wtable_mmf, MMFState, eqsmoisture,
 
 from test_column import make_forcing, column_params
 
-RUN = "/root/reference/run"
+from noahmp_tpu.params import default_table_dir
+RUN = default_table_dir()
 
 
 def test_glacier_column():

@@ -3,7 +3,8 @@ import numpy as np
 from noahmp_tpu.params import tables as T
 from noahmp_tpu.params.hydrate import hydrate
 
-RUN = "/root/reference/run"
+from noahmp_tpu.params import default_table_dir
+RUN = default_table_dir()
 
 
 def test_mptable_usgs():
