@@ -117,10 +117,14 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
             sf_n, cm_n, ch_n, fv_n, _ch2 = (out.state, out.cm, out.ch,
                                             out.fv, out.ch2)
         elif cfg.opt_sfc == 2:
-            # sf.moz carries RLMO, sf.fm carries WSTAR2, sf.fv USTAR
+            # sf.moz carries RLMO, sf.fm carries WSTAR2, sf.fv USTAR.
+            # NOTE: the reference feeds the UR-divided drag coefficients
+            # straight back into SFCDIF2's AKMS/AKHS inout args each
+            # iteration (CM=CM/UR after the call, :3334-3335) — a quirk,
+            # but it is the spec; the golden oracle pins it.
             akms, akhs, rlmo_n, wstar2_n, fv_n = sfcdif2(
-                it, z0m, tah_c, thair, ur, p.czil, zlvl, cm_c * ur,
-                ch_c * ur, sf.moz, sf.fm, sf.fv)
+                it, z0m, tah_c, thair, ur, p.czil, zlvl, cm_c,
+                ch_c, sf.moz, sf.fm, sf.fv)
             cm_n = akms / ur
             ch_n = akhs / ur
             sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, wstar2_n, sf.fh,
@@ -377,9 +381,10 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
                           z0m, z0h, ur)
             sf_n, cm_n, ch_n = out.state, out.cm, out.ch
         elif cfg.opt_sfc == 2:
+            # same UR-divided inout carry quirk as VEGE_FLUX (:3636-3637)
             akms, akhs, rlmo_n, wstar2_n, fv_n = sfcdif2(
-                it, z0m, tgb_c, thair, ur, p.czil, zlvl, cm_c * ur,
-                ch_c * ur, sf.moz, sf.fm, sf.fv)
+                it, z0m, tgb_c, thair, ur, p.czil, zlvl, cm_c,
+                ch_c, sf.moz, sf.fm, sf.fv)
             cm_n = akms / ur
             ch_n = akhs / ur
             snow_cap = snowh > 0.0
