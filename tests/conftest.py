@@ -21,22 +21,39 @@ import sys
 _MARK = "NOAHMP_TPU_TEST_REEXEC"
 
 if os.environ.get(_MARK) != "1":
-    # restore real stdout/stderr from pytest-capture's saved dups
-    saved = []
-    for fd in range(3, 64):
+    # Restore real stdout/stderr from pytest-capture's saved dups — but
+    # ONLY if fd 1/2 actually point at pytest's (deleted) capture temp
+    # files.  If the caller redirected stdout to a real file
+    # (`pytest > log`), fd 1 is that file and must be left alone;
+    # hijacking it would silently reroute all output to the tty.
+    def _fd_is_capture_tmp(fd):
         try:
             link = os.readlink(f"/proc/self/fd/{fd}")
         except OSError:
-            continue
-        # the true stdout/stderr are pipes or a tty; skip /dev/null and
-        # the capture temp files
-        if link.startswith("pipe:") or link.startswith("/dev/pts")                 or link.startswith("/dev/tty"):
-            saved.append(fd)
-        if len(saved) >= 2:
-            break
-    if saved:
-        os.dup2(saved[0], 1)
-        os.dup2(saved[-1], 2)
+            return False
+        return "(deleted)" in link
+
+    if _fd_is_capture_tmp(1) or _fd_is_capture_tmp(2):
+        saved = []
+        for fd in range(3, 64):
+            try:
+                link = os.readlink(f"/proc/self/fd/{fd}")
+            except OSError:
+                continue
+            # the true stdout/stderr are pipes, a tty, or a regular
+            # (non-deleted) file; skip /dev/null and the capture tmps
+            if (link.startswith("pipe:") or link.startswith("/dev/pts")
+                    or link.startswith("/dev/tty")
+                    or (link.startswith("/") and "(deleted)" not in link
+                        and link != "/dev/null")):
+                saved.append(fd)
+            if len(saved) >= 2:
+                break
+        if saved:
+            if _fd_is_capture_tmp(1):
+                os.dup2(saved[0], 1)
+            if _fd_is_capture_tmp(2):
+                os.dup2(saved[-1], 2)
 
     env = dict(os.environ)
     env[_MARK] = "1"

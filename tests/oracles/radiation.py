@@ -208,3 +208,157 @@ def groundalb(ist, isc, fsno, smc0, albsnd, albsni, cosz, tg):
         albgrd[ib] = albsod * (1.0 - fsno) + albsnd[ib] * fsno
         albgri[ib] = albsoi * (1.0 - fsno) + albsni[ib] * fsno
     return albgrd, albgri
+
+
+def albedo(par, opt_alb, opt_rad, ist, isc, ice, dt, cosz, elai, esai,
+           tg, tv, snowh, fsno, fwet, smc1, sneqvo, sneqv, qsnow, fveg,
+           albold, tauss):
+    """ALBEDO (:2243-2424): snow age + snow/ground albedo + two-stream
+    x4.  `par` needs rhol/rhos/taul/taus (2-vectors), xl, rc, hvt, hvb.
+    Returns a dict (albold/tauss updated)."""
+    MPE = 1.0e-6
+    nband = 2
+    bgap = 0.0
+    wgap = 0.0
+    albd = [0.0, 0.0]
+    albi = [0.0, 0.0]
+    albgrd = [0.0, 0.0]
+    albgri = [0.0, 0.0]
+    fabd = [0.0, 0.0]
+    fabi = [0.0, 0.0]
+    ftdd = [0.0, 0.0]
+    ftid = [0.0, 0.0]
+    ftii = [0.0, 0.0]
+    ftdi = [0.0, 0.0]
+    frevd = [0.0, 0.0]
+    frevi = [0.0, 0.0]
+    fregd = [0.0, 0.0]
+    fregi = [0.0, 0.0]
+    fsun = 0.0
+
+    if cosz <= 0:
+        return dict(albold=albold, tauss=tauss, albgrd=albgrd,
+                    albgri=albgri, albd=albd, albi=albi, fabd=fabd,
+                    fabi=fabi, ftdd=ftdd, ftid=ftid, ftii=ftii,
+                    fsun=fsun, frevd=frevd, frevi=frevi, fregd=fregd,
+                    fregi=fregi, bgap=bgap, wgap=wgap)
+
+    vai = elai + esai
+    wl = elai / max(vai, MPE)
+    ws = esai / max(vai, MPE)
+    rho = [max(par["rhol"][b] * wl + par["rhos"][b] * ws, MPE)
+           for b in range(2)]
+    tau = [max(par["taul"][b] * wl + par["taus"][b] * ws, MPE)
+           for b in range(2)]
+
+    tauss, fage = snow_age(dt, tg, sneqvo, sneqv, tauss)
+    if opt_alb == 1:
+        albsnd, albsni = snowalb_bats(cosz, fage)
+    else:
+        alb, albsnd, albsni = snowalb_class(qsnow, dt, albold)
+        albold = alb
+    albgrd, albgri = groundalb(ist, isc, fsno, smc1, albsnd, albsni,
+                               cosz, tg)
+
+    gdir = 0.0
+    for ib in range(2):
+        rd = twostream(ib, 0, cosz, vai, fwet, tv, albgrd, albgri, rho,
+                       tau, fveg, opt_rad, par["xl"], par["rc"],
+                       par["hvt"], par["hvb"])
+        fabd[ib] = rd["fab"]
+        albd[ib] = rd["fre"]
+        ftdd[ib] = rd["ftd"]
+        ftid[ib] = rd["fti"]
+        gdir = rd["gdir"]
+        frevd[ib] = rd["frev"]
+        fregd[ib] = rd["freg"]
+        bgap = rd["bgap"]
+        wgap = rd["wgap"]
+        ri = twostream(ib, 1, cosz, vai, fwet, tv, albgrd, albgri, rho,
+                       tau, fveg, opt_rad, par["xl"], par["rc"],
+                       par["hvt"], par["hvb"])
+        fabi[ib] = ri["fab"]
+        albi[ib] = ri["fre"]
+        ftdi[ib] = ri["ftd"]
+        ftii[ib] = ri["fti"]
+        frevi[ib] = ri["frev"]
+        fregi[ib] = ri["freg"]
+        bgap = ri["bgap"]
+        wgap = ri["wgap"]
+
+    import math as _m
+    ext = gdir / cosz * _m.sqrt(1.0 - rho[0] - tau[0])
+    fsun = (1.0 - _m.exp(-ext * vai)) / max(ext * vai, MPE)
+    ext = fsun
+    if ext < 0.01:
+        wl = 0.0
+    else:
+        wl = ext
+    fsun = wl
+
+    return dict(albold=albold, tauss=tauss, albgrd=albgrd,
+                albgri=albgri, albd=albd, albi=albi, fabd=fabd,
+                fabi=fabi, ftdd=ftdd, ftid=ftid, ftii=ftii, fsun=fsun,
+                frevd=frevd, frevi=frevi, fregd=fregd, fregi=fregi,
+                bgap=bgap, wgap=wgap)
+
+
+def surrad(fsun, fsha, elai, vai, laisun, laisha, solad, solai, fabd,
+           fabi, ftdd, ftid, ftii, albgrd, albgri, albd, albi, frevi,
+           frevd, fregd, fregi):
+    """SURRAD (:2426-2545). Returns dict."""
+    MPE = 1.0e-6
+    sag = 0.0
+    sav = 0.0
+    fsa = 0.0
+    cad = [0.0, 0.0]
+    cai = [0.0, 0.0]
+    for ib in range(2):
+        cad[ib] = solad[ib] * fabd[ib]
+        cai[ib] = solai[ib] * fabi[ib]
+        sav = sav + cad[ib] + cai[ib]
+        fsa = fsa + cad[ib] + cai[ib]
+        trd = solad[ib] * ftdd[ib]
+        tri = solad[ib] * ftid[ib] + solai[ib] * ftii[ib]
+        absg = trd * (1.0 - albgrd[ib]) + tri * (1.0 - albgri[ib])
+        sag = sag + absg
+        fsa = fsa + absg
+    laifra = elai / max(vai, MPE)
+    if fsun > 0.0:
+        parsun = (cad[0] + fsun * cai[0]) * laifra / max(laisun, MPE)
+        parsha = (fsha * cai[0]) * laifra / max(laisha, MPE)
+    else:
+        parsun = 0.0
+        parsha = (cad[0] + cai[0]) * laifra / max(laisha, MPE)
+    rvis = albd[0] * solad[0] + albi[0] * solai[0]
+    rnir = albd[1] * solad[1] + albi[1] * solai[1]
+    fsr = rvis + rnir
+    fsrv = (frevd[0] * solad[0] + frevi[0] * solai[0]
+            + frevd[1] * solad[1] + frevi[1] * solai[1])
+    fsrg = (fregd[0] * solad[0] + fregi[0] * solai[0]
+            + fregd[1] * solad[1] + fregi[1] * solai[1])
+    return dict(parsun=parsun, parsha=parsha, sav=sav, sag=sag, fsa=fsa,
+                fsr=fsr, fsrv=fsrv, fsrg=fsrg)
+
+
+def radiation_full(par, opt_alb, opt_rad, ist, isc, ice, dt, cosz,
+                   elai, esai, tg, tv, snowh, fsno, fwet, smc1, sneqvo,
+                   sneqv, qsnow, fveg, solad, solai, albold, tauss):
+    """RADIATION (:2120-2241) = ALBEDO + SURRAD. Returns dict."""
+    a = albedo(par, opt_alb, opt_rad, ist, isc, ice, dt, cosz, elai,
+               esai, tg, tv, snowh, fsno, fwet, smc1, sneqvo, sneqv,
+               qsnow, fveg, albold, tauss)
+    fsun = a["fsun"]
+    fsha = 1.0 - fsun
+    laisun = elai * fsun
+    laisha = elai * fsha
+    vai = elai + esai
+    s = surrad(fsun, fsha, elai, vai, laisun, laisha, solad, solai,
+               a["fabd"], a["fabi"], a["ftdd"], a["ftid"], a["ftii"],
+               a["albgrd"], a["albgri"], a["albd"], a["albi"],
+               a["frevi"], a["frevd"], a["fregd"], a["fregi"])
+    return dict(albold=a["albold"], tauss=a["tauss"], fsun=fsun,
+                laisun=laisun, laisha=laisha, parsun=s["parsun"],
+                parsha=s["parsha"], sav=s["sav"], sag=s["sag"],
+                fsr=s["fsr"], fsa=s["fsa"], fsrv=s["fsrv"],
+                fsrg=s["fsrg"], bgap=a["bgap"], wgap=a["wgap"])

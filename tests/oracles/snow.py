@@ -72,7 +72,10 @@ def compact(nsnow, dt, imelt, ficeold, st):
                 ddz1 = ddz1 * C5
             ddz2 = -(burden + 0.5 * wx) * math.exp(
                 -0.08 * td - C2 * bi) / ETA0
-            if imelt[j] == 1:
+            # IMELT is INTENT(OUT) of PHASECHANGE and only set for the
+            # layers active *before* SNOWFALL; a layer created this
+            # step reads an undefined (zero-initialized) entry.
+            if imelt.get(j, 0) == 1:
                 ddz3 = max(0.0, (ficeold[j] - fice)
                            / max(1.0e-6, ficeold[j]))
                 ddz3 = -ddz3 / dt

@@ -1,0 +1,233 @@
+"""Golden-parity trajectory: the full vectorized NOAHMP_SFLX column
+step vs the composed scalar Fortran oracle (tests/oracles/sflx.py),
+integrated over multi-day diurnal forcing.
+
+This is the BASELINE.md correctness-oracle stand-in: "allclose on
+prognostics (SMC, SH2O, STC, SNEQV, snow layers, canopy storage, ZWT)
+after N timesteps from identical cold start" — with the reference
+role played by an independent double-precision transliteration of the
+Fortran text instead of the (uncompilable-here) noahmp.exe."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import pytest
+
+from noahmp_tpu.params.tables import load_tables
+from noahmp_tpu.params.hydrate import hydrate
+from noahmp_tpu.params import default_table_dir
+from noahmp_tpu.config import NoahMPConfig
+from noahmp_tpu.state.state import initial_column_state, Forcing
+from noahmp_tpu.physics.sflx import noahmp_sflx
+
+from oracles import sflx as O
+
+f32 = jnp.float32
+NSNOW, NSOIL = 3, 4
+ZSOIL = (-0.1, -0.4, -1.0, -2.0)
+
+
+def _params(vegtyp=7, soiltyp=3):
+    t = load_tables(default_table_dir(), "USGS")
+    return jtu.tree_map(lambda x: x[0],
+                        hydrate(t, np.array([vegtyp]), np.array([soiltyp])))
+
+
+def _par_dict(p):
+    """Hydrated ColumnParams -> oracle par dict (f32-rounded floats)."""
+    g = lambda k: float(np.asarray(getattr(p, k)))
+    v2 = lambda k: [float(x) for x in np.asarray(getattr(p, k))]
+    d = {k: g(k) for k in (
+        "bexp", "smcmax", "smcref", "psisat", "dksat", "dwsat",
+        "smcwlt", "quartz", "czil", "kdt", "frzx", "slope", "topt",
+        "rgl", "rsmax", "rsmin", "hs", "ch2op", "dleaf", "z0mvt",
+        "hvt", "hvb", "rc", "c3psn", "kc25", "akc", "ko25", "ako",
+        "vcmx25", "avcmx", "bp", "mp", "qe25", "folnmx", "tmin", "xl")}
+    d["cwp"] = g("cwpvt")
+    d["nroot"] = int(np.asarray(p.nroot))
+    d["laim"] = v2("laim")
+    d["saim"] = v2("saim")
+    d["rhol"] = v2("rhol")
+    d["rhos"] = v2("rhos")
+    d["taul"] = v2("taul")
+    d["taus"] = v2("taus")
+    d["is_urban"] = bool(np.asarray(p.is_urban))
+    return d
+
+
+def _state_to_oracle(s):
+    """ColumnState -> oracle state dict (Fortran-indexed)."""
+    a = lambda k: np.asarray(getattr(s, k), np.float64)
+    snJ = lambda arr: {j: float(arr[j + NSNOW - 1])
+                       for j in range(-NSNOW + 1, 1)}
+    allJ = lambda arr: {j: float(arr[j + NSNOW - 1])
+                        for j in range(-NSNOW + 1, NSOIL + 1)}
+    soil = lambda arr: {k: float(arr[k - 1]) for k in range(1, NSOIL + 1)}
+    return dict(
+        isnow=int(s.isnow), stc=allJ(a("stc")), zsnso=allJ(a("zsnso")),
+        snice=snJ(a("snice")), snliq=snJ(a("snliq")),
+        sneqv=float(s.sneqv), sneqvo=float(s.sneqvo),
+        snowh=float(s.snowh), smc=soil(a("smc")), sh2o=soil(a("sh2o")),
+        canliq=float(s.canliq), canice=float(s.canice),
+        tv=float(s.tv), eah=float(s.eah), tah=float(s.tah),
+        fwet=float(s.fwet), tg=float(s.tg), qsfc=float(s.qsfc),
+        qsnow=float(s.qsnow), albold=float(s.albold),
+        tauss=float(s.tauss), cm=float(s.cm), ch=float(s.ch),
+        zwt=float(s.zwt), wa=float(s.wa), wt=float(s.wt),
+        wslake=float(s.wslake), smcwtd=float(s.smcwtd),
+        deeprech=float(s.deeprech), rech=float(s.rech),
+        lai=float(s.lai), sai=float(s.sai))
+
+
+def _forcing(hour, cold=False, prcp_mm_hr=0.0):
+    h = hour % 24
+    cosz = float(np.sin(np.pi * (h - 6) / 12.0)) if 6 <= h <= 18 else 0.0
+    cosz = max(0.0, cosz)
+    tair = (265.0 if cold else 282.0) + 8.0 * cosz
+    return dict(sfctmp=tair, sfcprs=95000.0, psfc=95000.0, uu=2.5,
+                vv=1.0, q2=0.004 if cold else 0.007, qc=0.0,
+                soldn=800.0 * cosz, lwdn=220.0 if cold else 330.0,
+                prcp=prcp_mm_hr / 3600.0, tbot=285.0, pblh=500.0,
+                cosz=cosz, lat=0.7, julian=(hour / 24.0) % 365,
+                co2air=95000.0 * 395.0e-6, o2air=95000.0 * 0.209,
+                foln=1.0)
+
+
+def _jax_forcing(fd, ficeold):
+    return Forcing(
+        sfctmp=f32(fd["sfctmp"]), sfcprs=f32(fd["sfcprs"]),
+        psfc=f32(fd["psfc"]), uu=f32(fd["uu"]), vv=f32(fd["vv"]),
+        q2=f32(fd["q2"]), qc=f32(fd["qc"]), soldn=f32(fd["soldn"]),
+        lwdn=f32(fd["lwdn"]), prcp=f32(fd["prcp"]),
+        tbot=f32(fd["tbot"]), pblh=f32(fd["pblh"]),
+        cosz=f32(fd["cosz"]), lat=f32(fd["lat"]),
+        julian=f32(fd["julian"]), yearlen=jnp.int32(365),
+        shdfac=f32(0.8), shdmax=f32(0.9), co2air=f32(fd["co2air"]),
+        o2air=f32(fd["o2air"]), foln=f32(fd["foln"]),
+        ficeold=jnp.asarray(ficeold, jnp.float32),
+        smceq=jnp.full(4, 0.25, jnp.float32))
+
+
+def _opts(cfg):
+    return dict(dveg=cfg.dveg, opt_crs=cfg.opt_crs, opt_btr=cfg.opt_btr,
+                opt_run=cfg.opt_run, opt_sfc=cfg.opt_sfc,
+                opt_frz=cfg.opt_frz, opt_inf=cfg.opt_inf,
+                opt_rad=cfg.opt_rad, opt_alb=cfg.opt_alb,
+                opt_snf=cfg.opt_snf, opt_tbot=cfg.opt_tbot,
+                opt_stc=cfg.opt_stc)
+
+
+def _ficeold_from(snice, snliq, isnow):
+    """FICEOLD from pre-step snow state (module_sf_noahmpdrv.F90:516-518)."""
+    out = np.zeros(NSNOW)
+    for k in range(NSNOW):
+        j = k - NSNOW + 1
+        if j >= isnow + 1 and (snice[k] + snliq[k]) > 0:
+            out[k] = snice[k] / (snice[k] + snliq[k])
+    return out
+
+
+def _run_pair(cfg, scenario, hours, tol):
+    p = _params()
+    par = _par_dict(p)
+    s = initial_column_state(cfg, tsk=282.0, smc0=0.3)
+    os_ = _state_to_oracle(s)
+    opts = _opts(cfg)
+    zs = {k: ZSOIL[k - 1] for k in range(1, NSOIL + 1)}
+    smceq = {k: 0.25 for k in range(1, NSOIL + 1)}
+
+    step = jax.jit(lambda s, f: noahmp_sflx(cfg, p, s, f))
+    worst = {}
+    for hour in range(hours):
+        fd = scenario(hour)
+        snice_np = np.asarray(s.snice, np.float64)
+        snliq_np = np.asarray(s.snliq, np.float64)
+        fice = _ficeold_from(snice_np, snliq_np, int(s.isnow))
+        s, d = step(s, _jax_forcing(fd, fice))
+
+        fice_d = {j: fice[j + NSNOW - 1] for j in range(-NSNOW + 1, 1)}
+        os_, od = O.sflx(
+            par, opts, NSNOW, NSOIL, cfg.dt, fd["lat"], 365,
+            fd["julian"], fd["cosz"], cfg.zlvl, 0.8, 0.9, 0, 1, 4,
+            smceq, fd["sfctmp"], fd["sfcprs"], fd["psfc"], fd["uu"],
+            fd["vv"], fd["q2"], fd["soldn"], fd["lwdn"], fd["prcp"],
+            fd["tbot"], fd["co2air"], fd["o2air"], fd["foln"], fice_d,
+            zs, os_)
+
+        # track worst-case divergence per field
+        def rec(name, got, want):
+            dv = abs(got - want)
+            if name not in worst or dv > worst[name][0]:
+                worst[name] = (dv, hour, got, want)
+
+        rec("tg", float(s.tg), os_["tg"])
+        rec("tv", float(s.tv), os_["tv"])
+        rec("tah", float(s.tah), os_["tah"])
+        rec("eah", float(s.eah), os_["eah"])
+        rec("sneqv", float(s.sneqv), os_["sneqv"])
+        rec("snowh", float(s.snowh), os_["snowh"])
+        rec("canliq", float(s.canliq), os_["canliq"])
+        rec("canice", float(s.canice), os_["canice"])
+        rec("zwt", float(s.zwt), os_["zwt"])
+        rec("wa", float(s.wa), os_["wa"])
+        rec("isnow", float(s.isnow), float(os_["isnow"]))
+        for k in range(1, NSOIL + 1):
+            rec(f"smc{k}", float(s.smc[k - 1]), os_["smc"][k])
+            rec(f"sh2o{k}", float(s.sh2o[k - 1]), os_["sh2o"][k])
+            rec(f"stc{k}", float(s.stc[k + NSNOW - 1]), os_["stc"][k])
+        rec("fsa", float(d.fsa), od["fsa"])
+        rec("fsh", float(d.fsh), od["fsh"])
+        rec("fira", float(d.fira), od["fira"])
+
+    failures = []
+    for name, (dv, hour, got, want) in sorted(worst.items()):
+        key = name.rstrip("1234")
+        lim = tol.get(key, tol.get(name, None))
+        if lim is None:
+            continue
+        if dv > lim:
+            failures.append(f"{name}: |{got:.6g} - {want:.6g}| = "
+                            f"{dv:.3g} > {lim} at hour {hour}")
+    assert not failures, "trajectory diverged:\n" + "\n".join(failures)
+    return worst
+
+
+TOL_WARM = dict(tg=0.3, tv=0.3, tah=0.3, eah=25.0, sneqv=0.5,
+                snowh=5e-3, canliq=0.05, canice=0.05, zwt=0.02, wa=1.0,
+                isnow=0.0, smc=3e-3, sh2o=3e-3, stc=0.3, fsa=2.0,
+                fsh=6.0, fira=6.0)
+
+
+def test_sflx_trajectory_warm_rain():
+    """3 days, grassland, diurnal cycle with a rain band."""
+    cfg = NoahMPConfig()
+    _run_pair(cfg, lambda h: _forcing(
+        h, prcp_mm_hr=3.0 if 10 <= h < 20 else 0.0), 72, TOL_WARM)
+
+
+def test_sflx_trajectory_chen97_jarvis():
+    """Alternate scheme combo: OPT_SFC=2 + Jarvis + BATS albedo."""
+    cfg = NoahMPConfig(opt_sfc=2, opt_crs=2, opt_alb=1, opt_btr=2,
+                       opt_run=3, opt_frz=2, opt_inf=2, opt_rad=1,
+                       opt_stc=2, opt_tbot=1)
+    _run_pair(cfg, lambda h: _forcing(
+        h, prcp_mm_hr=2.0 if 30 <= h < 40 else 0.0), 72, TOL_WARM)
+
+
+TOL_SNOW = dict(tg=1.0, tv=1.0, tah=1.0, eah=40.0, sneqv=1.5,
+                snowh=2e-2, canliq=0.05, canice=0.3, zwt=0.05, wa=2.0,
+                isnow=0.0, smc=5e-3, sh2o=5e-3, stc=1.0, fsa=4.0,
+                fsh=15.0, fira=15.0)
+
+
+def test_sflx_trajectory_snow_cycle():
+    """Cold snap: snowfall, multi-layer pack, melt-out."""
+    cfg = NoahMPConfig()
+
+    def scen(h):
+        cold = 24 <= h < 96
+        return _forcing(h, cold=cold,
+                        prcp_mm_hr=2.0 if 30 <= h < 40 else 0.0)
+
+    worst = _run_pair(cfg, scen, 120, TOL_SNOW)
