@@ -74,6 +74,15 @@ class LandModel:
     land_idx: np.ndarray = None      # indices of land columns, or None
     check_every: int = 1             # conservation-guard cadence (steps)
     check_mode: str = "abort"        # "abort" | "warn" | "off"
+    # driver-level green-veg-fraction fields, full-grid numpy
+    # (module_hrldas_noahmp_vars.F90:146-149; restart :645-649).  fpar
+    # tracks the last VEGFRA forcing; gvfmin/gvfmax track the annual
+    # envelope when the setup file has no climatology.
+    fpar: np.ndarray = None
+    gvfmin: np.ndarray = None
+    gvfmax: np.ndarray = None
+    shdmax_grid: np.ndarray = None
+    _warned_shdfac: bool = False
     _step_fn: object = None
     _errmax_fn: object = None
     _wtd_fn: object = None
@@ -179,10 +188,11 @@ class LandModel:
         accum = GridAccum.zeros(n)
 
         mf = {}
+        rst_extras = {}
         if rs.from_restart:
             path = Path(rs.resdir) / rs.restart_file
-            date, sf, af, mf = ncio.read_restart(str(path), cfg,
-                                                 dom.ny, dom.nx)
+            date, sf, af, mf, rst_extras = ncio.read_restart(
+                str(path), cfg, dom.ny, dom.nx)
             base = cold_start(cfg, tables, vegtyp, soiltyp,
                               tsk=np.full(n, 285.0, np.float32),
                               smois=sf["smc"], stemp=sf["stc"][:, cfg.nsnow:])
@@ -221,9 +231,12 @@ class LandModel:
 
         mmf = None
         smceq = np.full((n, cfg.nsoil), 0.25, np.float32)
+        if "smceq" in rst_extras:           # SMOISEQ restart carry (:661)
+            smceq = rst_extras["smceq"]
         stepwtd = 1
         if cfg.opt_run == 5:
-            smceq = eqsmoisture(cfg, tables, soiltyp)
+            if "smceq" not in rst_extras:
+                smceq = eqsmoisture(cfg, tables, soiltyp)
             z = jnp.zeros(n, jnp.float32)
             if rs.mmf_runoff_file and Path(rs.mmf_runoff_file).exists():
                 # read_mmf_runoff (:170-174, io:326-392)
@@ -303,6 +316,17 @@ class LandModel:
         m._land_full = land_full
         m._params_full = params_full
         m._full_tmpl = full_tmpl
+        # green-veg-fraction fields: restart carry wins, else setup-file
+        # climatology, else tracked from forcing as the run progresses
+        def _gvf(key, dom_arr):
+            if key in rst_extras:
+                return rst_extras[key].reshape(n)
+            return (np.asarray(dom_arr, np.float32).reshape(n)
+                    if dom_arr is not None else None)
+        m.fpar = _gvf("FPAR", None)
+        m.gvfmin = _gvf("GVFMIN", dom.gvfmin)
+        m.gvfmax = _gvf("GVFMAX", dom.gvfmax)
+        m.shdmax_grid = _gvf("SHDMAX", dom.shdmax)
         if rs.indir:
             m.forcing_reader = ncio.ForcingReader(rs.indir, rs.input_timestep)
         m.history = ncio.HistoryWriter(rs.outdir, cfg, dom.ny, dom.nx,
@@ -311,16 +335,67 @@ class LandModel:
         # layout (glaciers interleaved or absent)
         gidx = (glacier_slice_start(masks) if land_idx is not None
                 else "auto")
-        m._step_fn = jax.jit(
-            lambda p, s, f, mk, a: grid_step(cfg, p, s, f, mk, a,
-                                             glacier_idx=gidx))
-        if cfg.opt_run == 5:
-            shape = (dom.ny, dom.nx)
-            m._wtd_fn = jax.jit(
-                lambda p, mmf, lm, se, w, sm, sh, sw, dr, rc:
-                wtable_mmf(cfg, p, mmf, shape, lm, se, w, sm, sh, sw,
-                           dr, rc, WTDDT_MINUTES))
+        m._step_fn = m._build_step_fn(gidx)
         return m
+
+    def _build_step_fn(self, gidx):
+        """One fused jitted step: column physics + (opt_run=5) the MMF
+        groundwater update folded in under a ``lax.cond`` keyed on the
+        step counter — no host round-trip per STEPWTD, and the whole
+        step is a single XLA program so the stencil's halo collectives
+        schedule alongside the per-column UPDATEWTD work (SURVEY L10).
+        The compacted<->full-grid moves are device-side gathers/scatters
+        executed only on MMF steps."""
+        cfg = self.cfg
+        if cfg.opt_run != 5:
+            fn = lambda p, s, f, mk, a, mmf, it: grid_step(
+                cfg, p, s, f, mk, a, glacier_idx=gidx) + (mmf,)
+            return jax.jit(fn)
+
+        shape = (self.domain.ny, self.domain.nx)
+        stepwtd = self.stepwtd
+        idxd = (jnp.asarray(self.land_idx) if self.land_idx is not None
+                else None)
+        tmpl = self._full_tmpl
+        params_full = self._params_full
+        land_full = self._land_full
+        smceq_full = jnp.asarray(self.smceq, jnp.float32)
+
+        def fused(params, state, forcing, masks, accum, mmf, itime):
+            s, d, a = grid_step(cfg, params, state, forcing, masks, accum,
+                                glacier_idx=gidx)
+
+            def do_mmf(op):
+                s, mmf = op
+                if idxd is None:
+                    w, sm, sh = s.zwt, s.smc, s.sh2o
+                    sw, dr, rc = s.smcwtd, s.deeprech, s.rech
+                else:
+                    scat = lambda t, c: t.at[idxd].set(c)
+                    w, sm, sh = (scat(tmpl["zwt"], s.zwt),
+                                 scat(tmpl["smc"], s.smc),
+                                 scat(tmpl["sh2o"], s.sh2o))
+                    sw, dr, rc = (scat(tmpl["smcwtd"], s.smcwtd),
+                                  scat(tmpl["deeprech"], s.deeprech),
+                                  scat(tmpl["rech"], s.rech))
+                wtd, smc, sh2o, smcwtd, deeprech, mmf2 = wtable_mmf(
+                    cfg, params_full, mmf, shape, land_full, smceq_full,
+                    w, sm, sh, sw, dr, rc, WTDDT_MINUTES)
+                if idxd is None:
+                    s2 = dataclasses.replace(
+                        s, zwt=wtd, smc=smc, sh2o=sh2o, smcwtd=smcwtd,
+                        deeprech=deeprech)
+                else:
+                    s2 = dataclasses.replace(
+                        s, zwt=wtd[idxd], smc=smc[idxd], sh2o=sh2o[idxd],
+                        smcwtd=smcwtd[idxd], deeprech=deeprech[idxd])
+                return s2, mmf2
+
+            s, mmf = jax.lax.cond((itime + 1) % stepwtd == 0,
+                                  do_mmf, lambda op: op, (s, mmf))
+            return s, d, a, mmf
+
+        return jax.jit(fused)
 
     # ------------------------------------------------------------------
     def build_forcing(self) -> Forcing:
@@ -343,9 +418,33 @@ class LandModel:
             sw, lw = cp(raw["SWDOWN"].reshape(n)), cp(raw["LWDOWN"].reshape(n))
             prcp = cp(raw["RAINRATE"].reshape(n))
             # optional vegetation forcing (hrldas_input_read :1238-1255;
-            # VEGFRA -> SHDFAC, LAI replaces the state LAI)
-            shdfac = (cp(raw["VEGFRA"].reshape(n)) if "VEGFRA" in raw
-                      else np.full(t2d.shape[0], 0.8, np.float32))
+            # VEGFRA -> SHDFAC, LAI replaces the state LAI).  fpar
+            # carries the last-seen VEGFRA across steps and restarts
+            # (driver :645 restarts it as FPAR); gvfmin/gvfmax track the
+            # annual envelope when the setup file has no climatology.
+            if "VEGFRA" in raw:
+                self.fpar = np.asarray(raw["VEGFRA"].reshape(n), np.float32)
+                self.gvfmin = (self.fpar.copy() if self.gvfmin is None
+                               else np.minimum(self.gvfmin, self.fpar))
+                self.gvfmax = (self.fpar.copy() if self.gvfmax is None
+                               else np.maximum(self.gvfmax, self.fpar))
+            if self.fpar is not None:
+                shdfac = cp(self.fpar)
+            elif self.gvfmax is not None:
+                shdfac = cp(self.gvfmax)
+            else:
+                if not self._warned_shdfac:
+                    print("WARNING: no VEGFRA forcing and no GVFMIN/"
+                          "GVFMAX in the setup file; using SHDFAC=0.8 "
+                          "(demo default)", flush=True)
+                    self._warned_shdfac = True
+                shdfac = np.full(t2d.shape[0], 0.8, np.float32)
+            if self.shdmax_grid is not None:
+                shdmax = cp(self.shdmax_grid)
+            elif self.gvfmax is not None:
+                shdmax = np.maximum(cp(self.gvfmax), shdfac)
+            else:
+                shdmax = np.maximum(np.float32(0.9), shdfac)
             if "LAI" in raw:
                 self.state = dataclasses.replace(
                     self.state, lai=jnp.asarray(cp(raw["LAI"].reshape(n)),
@@ -370,7 +469,8 @@ class LandModel:
             julian=jnp.full((nc,), julian, f32),
             yearlen=jnp.full((nc,), yl, jnp.int32),
             shdfac=jnp.asarray(shdfac, f32),
-            shdmax=jnp.full((nc,), 0.9, f32),
+            shdmax=jnp.asarray(jnp.broadcast_to(
+                jnp.asarray(shdmax, f32), (nc,))),
             co2air=jnp.asarray(C.CO2_FRAC * psfc, f32),
             o2air=jnp.asarray(C.O2_FRAC * psfc, f32),
             foln=jnp.full((nc,), C.FOLN_DEFAULT, f32),
@@ -395,41 +495,11 @@ class LandModel:
             self.state = first_step_guess(self.state, forcing)
 
         t1 = time.perf_counter()
-        self.state, diag, self.accum = self._step_fn(
-            self.params, self.state, forcing, self.masks, self.accum)
-
-        # MMF groundwater every STEPWTD steps (:420-436).  The stencil
-        # works on the full (ny, nx) grid; with land compaction the
-        # hydrology fields are scattered into full-grid templates and
-        # gathered back (water cells are landmask-gated inside).
-        if (self.cfg.opt_run == 5
-                and (self.itime + 1) % self.stepwtd == 0):
-            s = self.state
-            if self.land_idx is None:
-                (wtd, smc, sh2o, smcwtd, deeprech, self.mmf) = self._wtd_fn(
-                    self.params, self.mmf, self.masks.land,
-                    jnp.asarray(self.smceq), s.zwt, s.smc, s.sh2o,
-                    s.smcwtd, s.deeprech, s.rech)
-                self.state = dataclasses.replace(
-                    s, zwt=wtd, smc=smc, sh2o=sh2o, smcwtd=smcwtd,
-                    deeprech=deeprech)
-            else:
-                idxd = jnp.asarray(self.land_idx)
-                tm = self._full_tmpl
-
-                def scat(tmpl, comp):
-                    return tmpl.at[idxd].set(comp)
-
-                (wtd, smc, sh2o, smcwtd, deeprech, self.mmf) = self._wtd_fn(
-                    self._params_full, self.mmf, self._land_full,
-                    jnp.asarray(self.smceq),
-                    scat(tm["zwt"], s.zwt), scat(tm["smc"], s.smc),
-                    scat(tm["sh2o"], s.sh2o), scat(tm["smcwtd"], s.smcwtd),
-                    scat(tm["deeprech"], s.deeprech),
-                    scat(tm["rech"], s.rech))
-                self.state = dataclasses.replace(
-                    s, zwt=wtd[idxd], smc=smc[idxd], sh2o=sh2o[idxd],
-                    smcwtd=smcwtd[idxd], deeprech=deeprech[idxd])
+        # one fused device call: column physics + (opt_run=5) the MMF
+        # groundwater update under a lax.cond on the step counter
+        self.state, diag, self.accum, self.mmf = self._step_fn(
+            self.params, self.state, forcing, self.masks, self.accum,
+            self.mmf, jnp.asarray(self.itime, jnp.int32))
 
         # conservation guard (reference ERROR aborts every step,
         # module_sf_noahmplsm.F90:1164-1223; here a fused device-side
@@ -450,7 +520,9 @@ class LandModel:
             self._submit_io(self.history.write, self.date,
                             self._expand_tree(self.state),
                             self._expand_tree(diag),
-                            self._expand_tree(self.accum))
+                            self._expand_tree(self.accum),
+                            self._expand_tree(forcing),
+                            self.mmf)
         if self.rs.restart_timestep > 0 and epoch % self.rs.restart_timestep == 0:
             self.write_restart(_async=True)
 
@@ -534,11 +606,16 @@ class LandModel:
                 self._expand_tree(self.state),
                 self._expand_tree(self.accum),
                 self.domain.ny, self.domain.nx)
-        mmf_now = self.mmf   # snapshot: the writer thread runs later
+        # snapshots: the writer thread runs later
+        mmf_now = self.mmf
+        extras = {k: v for k, v in
+                  (("FPAR", self.fpar), ("GVFMIN", self.gvfmin),
+                   ("GVFMAX", self.gvfmax), ("SHDMAX", self.shdmax_grid))
+                  if v is not None}
+        kw = dict(mmf=mmf_now, extras=extras, smceq=self.smceq)
         if _async:
             self._submit_io(
-                lambda *a, _m=mmf_now: ncio.write_restart(*a, mmf=_m),
-                *args)
+                lambda *a, _kw=kw: ncio.write_restart(*a, **_kw), *args)
         else:
-            ncio.write_restart(*args, mmf=mmf_now)
+            ncio.write_restart(*args, **kw)
         return str(path)

@@ -5,8 +5,11 @@ Reference: driver/module_hrldas_netcdf_io.F90 — dim/header/const readers
 interpolation (:1140-1303, :1369-1403), history writer (:1536-2043),
 restart writer/reader (:2065-2874).
 
-Files are NetCDF classic (CDF-1) via scipy — readable by the Fortran
-NetCDF toolchain for cross-validation.  The reference funnels all I/O
+History/restart files are NetCDF-4 with deflate_level=6 via a ctypes
+binding of the system libnetcdf (noahmp_tpu.io.nc4), matching the
+reference's format (module_hrldas_netcdf_io.F90:1688); set
+NOAHMP_NC_FORMAT=classic for scipy CDF-1 output.  Readers sniff the
+container magic and handle both.  The reference funnels all I/O
 through an MPI io-rank with scatter/gather
 (module_hrldas_netcdf_io.F90:59-131); here every host reads/writes
 host-local shards of the flat column axis (SURVEY §5.8) — for
@@ -23,6 +26,19 @@ import numpy as np
 from scipy.io import netcdf_file
 
 from .. import constants as C
+from .nc4 import nc4_file, open_nc
+from . import nc4 as _nc4
+
+
+def _wfile(path):
+    """Writable NetCDF handle.  Default format is NetCDF-4 with
+    deflate_level=6, matching the reference
+    (module_hrldas_netcdf_io.F90:1688); set NOAHMP_NC_FORMAT=classic
+    to emit scipy CDF-1 files instead (or when libnetcdf is absent)."""
+    fmt = os.environ.get("NOAHMP_NC_FORMAT", "netcdf4").lower()
+    if fmt != "classic" and _nc4.available():
+        return nc4_file(path, "w", deflate=6)
+    return netcdf_file(path, "w")
 
 # history registry: name -> (source, field, units, description, kind)
 # source: "diag" (SflxDiag), "state" (ColumnState), "accum", "forc"
@@ -106,6 +122,21 @@ HISTORY_FIELDS = [
     ("SAI", "state", "sai", "-", "Stem area index", "2d"),
     ("SMCWTD", "state", "smcwtd", "m3 m-3", "soil moisture below soil column", "2d"),
     ("RECH", "state", "rech", "m", "water table recharge", "2d"),
+    # forcing echo (driver :696-699)
+    ("SWFORC", "forc", "soldn", "W m{-2}", "Shortwave forcing", "2d"),
+    ("COSZ", "forc", "cosz", "W m{-2}", "Cosine of zenith angle", "2d"),
+    ("LWFORC", "forc", "lwdn", "W m{-2}", "Longwave forcing", "2d"),
+    ("RAINRATE", "forc", "prcp", "kg m{-2} s{-1}", "Precipitation rate", "2d"),
+    ("EMISS", "diag", "emissi", "", "Grid emissivity", "2d"),
+    # LH = FCEV + FGEV + FCTR (module_sf_noahmpdrv.F90 driver glue)
+    ("LH", "lh", "", "W m{-2}", "Total latent heat to atmosphere", "2d"),
+    # snow-layer depths (driver :752: ZSNSOXY(:,-nsnow+1:0,:))
+    ("ZSNSO_SN", "state_zsnso_snow", "zsnso", "m",
+     "Snow layer depths from snow surface", "snow"),
+    # MMF groundwater accumulators, opt_run=5 only (driver :789-794)
+    ("QRFS", "mmf", "qrfs", "mm", "groundwater baseflow", "2d"),
+    ("QSPRINGS", "mmf", "qsprings", "mm", "seeping water", "2d"),
+    ("QSLAT", "mmf", "qslat", "mm", "lateral flow", "2d"),
 ]
 
 # restart fields: (ncname, state field, kind)
@@ -126,11 +157,16 @@ RESTART_FIELDS = [
     ("WOOD", "wood", "2d"), ("STBLCP", "stblcp", "2d"),
     ("FASTCP", "fastcp", "2d"), ("LAI", "lai", "2d"),
     ("SAI", "sai", "2d"), ("TAUSS", "tauss", "2d"),
-    ("QSFC", "qsfc", "2d"), ("SMCWTD", "smcwtd", "2d"),
-    ("DEEPRECH", "deeprech", "2d"), ("RECH", "rech", "2d"),
+    ("QSFC", "qsfc", "2d"), ("SMCWTDXY", "smcwtd", "2d"),
+    ("DEEPRECHXY", "deeprech", "2d"), ("RECHXY", "rech", "2d"),
 ]
+# accumulators; the reference restart names ACSNOM "ACMELT"
+# (module_hrldas_noahmp_driver.F90:650)
 RESTART_ACCUM = [("SFCRUNOFF", "sfcrunoff"), ("UDRUNOFF", "udrunoff"),
-                 ("ACSNOW", "acsnow"), ("ACSNOM", "acsnom")]
+                 ("ACSNOW", "acsnow"), ("ACMELT", "acsnom")]
+# driver-level 2D fields carried through restarts (driver :645-649);
+# supplied to write_restart via `extras`, returned by read_restart
+RESTART_EXTRAS = ["FPAR", "GVFMIN", "GVFMAX", "SHDMAX"]
 
 
 def _get_state_field(state, field, kind, nsnow):
@@ -161,10 +197,16 @@ class Domain:
     isice: int = 24
     isurban: int = 1
     llanduse: str = ""   # MMINLU global attr ("USGS"/"MODIS..."); "" if absent
+    # optional annual green-veg-fraction climatology
+    # (hrldas_parm_veg_read, module_hrldas_netcdf_io.F90:1130-1135);
+    # None when the setup file has no GVFMIN/GVFMAX/SHDMAX
+    gvfmin: np.ndarray = None
+    gvfmax: np.ndarray = None
+    shdmax: np.ndarray = None
 
 
 def read_domain(path) -> Domain:
-    with netcdf_file(path, "r", mmap=False) as nc:
+    with open_nc(path) as nc:
         v = nc.variables
 
         def rd(name, default=None):
@@ -200,7 +242,9 @@ def read_domain(path) -> Domain:
                       iswater=iswater,
                       isice=int(attrs.get("ISICE") or 24),
                       isurban=int(attrs.get("ISURBAN") or 1),
-                      llanduse=mminlu)
+                      llanduse=mminlu,
+                      gvfmin=rd("GVFMIN"), gvfmax=rd("GVFMAX"),
+                      shdmax=rd("SHDMAX"))
 
 
 FORCING_VARS = ("T2D", "Q2D", "U2D", "V2D", "PSFC", "LWDOWN", "SWDOWN",
@@ -219,7 +263,7 @@ def read_init(path, nsoil):
     fields are (ny, nx), 3-D are (nsoil, ny, nx).
     """
     out = {}
-    with netcdf_file(path, "r", mmap=False) as nc:
+    with open_nc(path) as nc:
         v = nc.variables
 
         def rd(name):
@@ -325,7 +369,7 @@ def read_init_legacy(path, nsoil, sldpth):
     vYYYYMMDD tag (0 when TITLE is absent, :864-886).
     """
     out = {}
-    with netcdf_file(path, "r", mmap=False) as nc:
+    with open_nc(path) as nc:
         v = nc.variables
         title = getattr(nc, "TITLE", b"")
         if isinstance(title, bytes):
@@ -372,7 +416,7 @@ def read_snow(path):
     module_hrldas_netcdf_io.F90:1479-1532): WEASD (normalized to
     meters) and SNODEP; when SNODEP is absent it is estimated as
     10x WEASD (:1525-1528).  Returns (weasd_m, snodep_m)."""
-    with netcdf_file(path, "r", mmap=False) as nc:
+    with open_nc(path) as nc:
         v = nc.variables
         a = v["WEASD"][:]
         weasd = np.ascontiguousarray(a[0] if a.ndim == 3 else a,
@@ -396,7 +440,7 @@ def read_mmf_runoff(path):
     module_hrldas_netcdf_io.F90:326-392): ZWT, EQZWT, RIVERBED,
     RIVERCOND, PEXP, FDEPTH -> dict of (ny, nx) float32 arrays."""
     out = {}
-    with netcdf_file(path, "r", mmap=False) as nc:
+    with open_nc(path) as nc:
         for name in MMF_RUNOFF_VARS:
             a = nc.variables[name][:]
             out[name.lower()] = np.ascontiguousarray(
@@ -407,7 +451,7 @@ def read_mmf_runoff(path):
 def read_forcing_file(path):
     """Read one forcing file -> dict of (ny, nx) arrays."""
     out = {}
-    with netcdf_file(path, "r", mmap=False) as nc:
+    with open_nc(path) as nc:
         for name in FORCING_VARS:
             a = nc.variables[name][:]
             out[name] = np.ascontiguousarray(
@@ -459,7 +503,7 @@ class ForcingReader:
         # optional VEGFRA/LAI in the forcing file (:1238-1255); held at
         # the last read when absent (carry-over handled in read())
         try:
-            with netcdf_file(path, "r", mmap=False) as nc:
+            with open_nc(path) as nc:
                 for name in OPTIONAL_FORCING_VARS:
                     if name in nc.variables:
                         a = nc.variables[name][:]
@@ -542,12 +586,12 @@ class HistoryWriter:
         self.soiltyp = np.asarray(soiltyp).reshape(ny, nx)
         self.water = self.vegtyp == iswater
 
-    def write(self, date_str, state, diag, accum):
+    def write(self, date_str, state, diag, accum, forcing=None, mmf=None):
         ny, nx = self.ny, self.nx
         nsnow, nsoil = self.cfg.nsnow, self.cfg.nsoil
         compact = date_str.replace("-", "").replace(":", "").replace("_", "T")
         path = self.outdir / f"output.{compact}.nc"
-        with netcdf_file(path, "w") as nc:
+        with _wfile(path) as nc:
             nc.createDimension("Time", 1)
             nc.createDimension("DateStrLen", 19)
             nc.createDimension("west_east", nx)
@@ -567,6 +611,20 @@ class HistoryWriter:
                     data = np.asarray(getattr(diag, field))
                 elif src == "accum":
                     data = np.asarray(getattr(accum, field))
+                elif src == "forc":
+                    if forcing is None:
+                        continue
+                    data = np.asarray(getattr(forcing, field))
+                elif src == "lh":
+                    # LH = FCEV + FGEV + FCTR (module_sf_noahmpdrv.F90)
+                    data = (np.asarray(diag.fcev) + np.asarray(diag.fgev)
+                            + np.asarray(diag.fctr))
+                elif src == "mmf":
+                    if mmf is None:
+                        continue
+                    data = np.asarray(getattr(mmf, field))
+                elif src == "state_zsnso_snow":
+                    data = np.asarray(state.zsnso)[:, :nsnow]
                 elif src.startswith("state_stc"):
                     data = _get_state_field(
                         None if False else state, "stc",
@@ -597,19 +655,27 @@ class HistoryWriter:
                 var.description = desc.encode()
 
 
-# MMF groundwater accumulators restarted for exact continuity
-# (driver :660-673 writes 16 MMF fields; the static ancillaries
-# EQZWT/RIVERBED/RIVERCOND/PEXP/FDEPTH re-load from the runoff file)
-RESTART_MMF = [("QRFS", "qrfs"), ("QSPRINGS", "qsprings"),
-               ("QSLAT", "qslat"), ("QRF", "qrf"), ("QSPRING", "qspring"),
-               ("RECH_ACC", "rech_acc")]
+# MMF groundwater fields restarted for exact continuity, with the
+# reference's variable names (driver :660-675): flux accumulators plus
+# the static ancillaries, so a restarted opt_run=5 run needs no
+# separate runoff file.  RECH_ACC is framework-internal (sub-cadence
+# recharge accumulator between STEPWTD calls).
+RESTART_MMF = [("QRFSXY", "qrfs"), ("QSPRINGSXY", "qsprings"),
+               ("QSLATXY", "qslat"), ("QRFXY", "qrf"),
+               ("QSPRINGXY", "qspring"), ("RECH_ACC", "rech_acc"),
+               ("AREAXY", "area"), ("FDEPTHXY", "fdepth"),
+               ("RIVERCONDXY", "rivercond"), ("RIVERBEDXY", "riverbed"),
+               ("EQZWT", "eqzwt"), ("PEXPXY", "pexp")]
 
 
-def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None):
+def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None,
+                  extras=None, smceq=None):
     """Restart writer (hrldas_restart_* :2065-2524 + driver
-    :597-675)."""
+    :597-675).  `extras` carries the driver-level 2D fields
+    (RESTART_EXTRAS: FPAR/GVFMIN/GVFMAX/SHDMAX, driver :645-649);
+    `smceq` the equilibrium soil moisture (SMOISEQ, :661)."""
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
-    with netcdf_file(path, "w") as nc:
+    with _wfile(path) as nc:
         nc.createDimension("Time", 1)
         nc.createDimension("DateStrLen", 19)
         nc.createDimension("west_east", nx)
@@ -648,6 +714,16 @@ def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None):
                                     ("Time", "south_north", "west_east"))
             var[0] = np.asarray(getattr(accum, field)).reshape(ny, nx) \
                 .astype(np.float32)
+        for (ncname, arr) in (extras or {}).items():
+            var = nc.createVariable(ncname, "f",
+                                    ("Time", "south_north", "west_east"))
+            var[0] = np.asarray(arr).reshape(ny, nx).astype(np.float32)
+        if smceq is not None:
+            var = nc.createVariable(
+                "SMOISEQ", "f",
+                ("Time", "soil_layers_stag", "south_north", "west_east"))
+            var[0] = np.asarray(smceq).reshape(ny, nx, nsoil) \
+                .transpose(2, 0, 1).astype(np.float32)
         if mmf is not None:
             for (ncname, field) in RESTART_MMF:
                 var = nc.createVariable(
@@ -658,20 +734,36 @@ def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None):
 
 def read_restart(path, cfg, ny, nx):
     """Restart reader (:2526-2874).  Returns (date_str, state_fields,
-    accum_fields) as plain numpy dicts keyed by framework field name."""
+    accum_fields, mmf_fields, extras) as plain numpy dicts keyed by
+    framework field name (extras keyed by RESTART_EXTRAS nc names,
+    plus "smceq" when SMOISEQ is present)."""
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
     n = ny * nx
     state_fields = {}
     accum_fields = {}
-    with netcdf_file(path, "r", mmap=False) as nc:
+    extras = {}
+
+    def lookup(variables, ncname):
+        """Find a variable by its reference name, tolerating the
+        pre-parity framework names (no XY suffix / ACSNOM)."""
+        if ncname in variables:
+            return variables[ncname]
+        for alt in (ncname[:-2] if ncname.endswith("XY") else None,
+                    "ACSNOM" if ncname == "ACMELT" else None):
+            if alt and alt in variables:
+                return variables[alt]
+        return None
+
+    with open_nc(path) as nc:
         date_str = b"".join(nc.variables["Times"][0]).decode()
         # absent optional fields are skipped, like the reference's
         # checkRstV existence probe (:135-150); the driver back-fills
         # them from the cold-start defaults
         for (ncname, field, kind) in RESTART_FIELDS:
-            if ncname not in nc.variables:
+            v = lookup(nc.variables, ncname)
+            if v is None:
                 continue
-            a = np.array(nc.variables[ncname][0])
+            a = np.array(v[0])
             a = np.ascontiguousarray(
                 a, dtype=np.int32 if kind == "int2d" else np.float32)
             if kind in ("2d", "int2d"):
@@ -679,15 +771,25 @@ def read_restart(path, cfg, ny, nx):
             else:
                 state_fields[field] = a.transpose(1, 2, 0).reshape(n, -1)
         for (ncname, field) in RESTART_ACCUM:
-            if ncname not in nc.variables:
+            v = lookup(nc.variables, ncname)
+            if v is None:
                 continue
             accum_fields[field] = np.ascontiguousarray(
-                nc.variables[ncname][0], dtype=np.float32).reshape(n)
+                v[0], dtype=np.float32).reshape(n)
         mmf_fields = {}
         for (ncname, field) in RESTART_MMF:
-            if ncname in nc.variables:
+            v = lookup(nc.variables, ncname)
+            if v is not None:
                 mmf_fields[field] = np.ascontiguousarray(
+                    v[0], dtype=np.float32).reshape(n)
+        for ncname in RESTART_EXTRAS:
+            if ncname in nc.variables:
+                extras[ncname] = np.ascontiguousarray(
                     nc.variables[ncname][0], dtype=np.float32).reshape(n)
+        if "SMOISEQ" in nc.variables:
+            extras["smceq"] = np.ascontiguousarray(
+                nc.variables["SMOISEQ"][0], dtype=np.float32) \
+                .transpose(1, 2, 0).reshape(n, -1)
     # reassemble stc
     if "stc_snow" in state_fields and "stc_soil" in state_fields:
         stc = np.concatenate([state_fields.pop("stc_snow"),
@@ -695,4 +797,4 @@ def read_restart(path, cfg, ny, nx):
         state_fields["stc"] = stc
     for _, field in RESTART_ACCUM:
         accum_fields.setdefault(field, np.zeros(n, np.float32))
-    return date_str, state_fields, accum_fields, mmf_fields
+    return date_str, state_fields, accum_fields, mmf_fields, extras

@@ -137,7 +137,7 @@ def test_run_and_restart_roundtrip(setup_run):
     # history file written at hour 3 and 6
     outs = sorted((tmp_path / "output").glob("output.*.nc"))
     assert len(outs) == 2
-    with netcdf_file(str(outs[-1]), "r", mmap=False) as nc:
+    with ncio.open_nc(str(outs[-1])) as nc:
         tg = np.array(nc.variables["TG"][0])
         assert tg.shape == (ny, nx)
         # water cell masked
@@ -448,10 +448,10 @@ def test_conservation_guard_aborts_on_leak(setup_run):
 
     inner = m._step_fn
 
-    def leaky(p, s, f, mk, a):
-        s2, diag, a2 = inner(p, s, f, mk, a)
+    def leaky(p, s, f, mk, a, mmf, it):
+        s2, diag, a2, mmf2 = inner(p, s, f, mk, a, mmf, it)
         diag = diag._replace(errwat=diag.errwat + 1.0)
-        return s2, diag, a2
+        return s2, diag, a2, mmf2
 
     m._step_fn = leaky
     with pytest.raises(ConservationError, match="water budget"):
@@ -464,3 +464,58 @@ def test_conservation_guard_aborts_on_leak(setup_run):
     # off mode skips the check entirely
     m.check_mode = "off"
     m.step()
+
+
+def test_netcdf4_format_and_field_parity(setup_run, tmp_path):
+    """History/restart format parity with the reference: NetCDF-4
+    container with deflate_level=6 (module_hrldas_netcdf_io.F90:1688),
+    the forcing-echo/LH/EMISS/ZSNSO_SN history fields (driver
+    :696-753), and the FPAR/GVFMIN/GVFMAX/ACMELT restart fields
+    (driver :645-650) carried through a round-trip."""
+    from noahmp_tpu.io import nc4
+    if not nc4.available():
+        pytest.skip("libnetcdf not present")
+    from noahmp_tpu.driver.model import LandModel
+    tmp, nml, ny, nx = setup_run
+    cfg, rs = read_namelist(str(nml))
+
+    # give the forcing a VEGFRA so FPAR/GVFMIN/GVFMAX become defined
+    for p in sorted((tmp / "input").glob("*.LDASIN_DOMAIN1"))[:1]:
+        with netcdf_file(str(p), "a") as nc:
+            v = nc.createVariable("VEGFRA", "f",
+                                  ("Time", "south_north", "west_east"))
+            v[0] = np.full((ny, nx), 0.55, np.float32)
+
+    m = LandModel.from_namelist(cfg, rs)
+    m.run(nsteps=6)
+    m.flush_io()
+
+    out = sorted((tmp / "output").glob("output.*.nc"))[-1]
+    rst = sorted((tmp / "restart").glob("restart.*.nc"))[-1]
+
+    # HDF5 container + gzip-6 on a gridded variable
+    assert nc4.is_hdf5(out) and nc4.is_hdf5(rst)
+    import h5py
+    with h5py.File(out) as f:
+        assert f["TG"].compression == "gzip"
+        assert f["TG"].compression_opts == 6
+
+    with ncio.open_nc(str(out)) as nc:
+        for name in ("SWFORC", "COSZ", "LWFORC", "RAINRATE", "EMISS",
+                     "LH"):
+            assert nc.variables[name][0].shape == (ny, nx), name
+        assert nc.variables["ZSNSO_SN"][0].shape == (cfg.nsnow, ny, nx)
+        # LH = FCEV+FGEV+FCTR and the SW forcing echoes the input
+        assert np.isfinite(nc.variables["LH"][0][1:, 1:]).all()
+
+    with ncio.open_nc(str(rst)) as nc:
+        for name in ("FPAR", "GVFMIN", "GVFMAX", "ACMELT", "SMOISEQ"):
+            assert name in nc.variables, name
+        assert np.allclose(nc.variables["FPAR"][0], 0.55)
+
+    # extras round-trip through read_restart
+    _, _, af, _, extras = ncio.read_restart(str(rst), cfg, ny, nx)
+    assert np.allclose(extras["FPAR"], 0.55)
+    assert np.allclose(extras["GVFMIN"], 0.55)
+    assert extras["smceq"].shape == (ny * nx, cfg.nsoil)
+    assert "acsnom" in af
