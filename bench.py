@@ -28,24 +28,27 @@ FORTRAN_EST_COL_STEPS_PER_S = 2.0e5
 
 def main():
     from noahmp_tpu.driver.synthetic import synthetic_grid, synthetic_forcing
-    from noahmp_tpu.grid.driver import (grid_step, glacier_order,
-                                        glacier_slice_start, GridMasks)
+    from noahmp_tpu.grid.driver import grid_step, column_layout, GridMasks
+    import numpy as np
 
     n = 65536
     nsteps = 96          # simulated steps per timed call (4 days at dt=1h)
     nforc = 8            # distinct diurnal forcing snapshots
     cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
 
-    # order glacier columns last -> glacier solver runs on a static
-    # tail slice instead of wasting 11/12 of its vector lanes
-    perm, _ = glacier_order(masks.glacier)
-    permd = jnp.asarray(perm)
+    # padded [veg | bare | glacier] layout -> the canopy Newton solver
+    # runs only on the veg slice, the glacier solver on the tail slice,
+    # and every segment is lane-aligned (measured +11% vs unpadded
+    # buckets, +4% vs glacier-tail-only on one v5e; see PERF.md)
+    lay = column_layout(cfg, np.asarray(params.vegtyp), masks.land,
+                        masks.glacier)
+    srcd = jnp.asarray(lay.src)
     reorder = lambda tree: jtu.tree_map(
-        lambda x: x[permd] if getattr(x, "ndim", 0) >= 1
+        lambda x: x[srcd] if getattr(x, "ndim", 0) >= 1
         and x.shape[0] == n else x, tree)
     params, state, accum = reorder(params), reorder(state), reorder(accum)
-    masks = GridMasks(land=masks.land[permd], glacier=masks.glacier[permd])
-    gidx = glacier_slice_start(masks)
+    masks = GridMasks(land=jnp.asarray(lay.land),
+                      glacier=jnp.asarray(lay.glacier))
 
     forc_stack = jtu.tree_map(
         lambda *xs: jnp.stack(xs),
@@ -57,7 +60,8 @@ def main():
             s, a = carry
             f = jtu.tree_map(lambda x: x[t % nforc], forc_stack)
             s, _, a = grid_step(cfg, params, s, f, masks, a,
-                                glacier_idx=gidx)
+                                glacier_idx=lay.glacier_start,
+                                bare_idx=lay.bare_start)
             return (s, a), ()
 
         (s, a), _ = jax.lax.scan(body, (state, accum),

@@ -26,7 +26,8 @@ from ..state.state import ColumnState, Forcing
 from ..params.tables import load_tables
 from ..params.hydrate import hydrate
 from ..grid.driver import (GridMasks, GridAccum, classify, grid_step,
-                           glacier_slice_start, first_step_guess)
+                           static_bare_mask, column_layout,
+                           first_step_guess)
 from ..grid.lateral import (MMFState, wtable_mmf, eqsmoisture,
                             groundwater_init)
 from .dates import calc_declin, geth_newdate, parse_date, yearlen
@@ -71,7 +72,10 @@ class LandModel:
     stepwtd: int = 1
     forcing_reader: object = None
     history: object = None
-    land_idx: np.ndarray = None      # indices of land columns, or None
+    land_idx: np.ndarray = None      # per-device-column full-grid source
+                                     # index (padding duplicates), or None
+    real_pos: np.ndarray = None      # device positions of authoritative
+                                     # land columns (see ColumnLayout)
     check_every: int = 1             # conservation-guard cadence (steps)
     check_mode: str = "abort"        # "abort" | "warn" | "off"
     # driver-level green-veg-fraction fields, full-grid numpy
@@ -148,15 +152,16 @@ class LandModel:
         (water cells = fill; int fields = 0)."""
         if self.land_idx is None:
             return tree
-        nland = self.land_idx.shape[0]
+        ndev = self.land_idx.shape[0]
+        auth = self.land_idx[self.real_pos]
 
         def ex(x):
             x = np.asarray(x)
-            if x.ndim == 0 or x.shape[0] != nland:
+            if x.ndim == 0 or x.shape[0] != ndev:
                 return x
             f = 0 if np.issubdtype(x.dtype, np.integer) else fill
             full = np.full((self.n_full,) + x.shape[1:], f, x.dtype)
-            full[self.land_idx] = x
+            full[auth] = x[self.real_pos]
             return full
 
         return jtu.tree_map(ex, tree)
@@ -281,18 +286,24 @@ class LandModel:
 
         # ---- land compaction: drop water/sea-ice columns from the
         # device state (reference skips them per cell, :434-441) and
-        # order the remaining land columns glacier-last so the glacier
-        # solver runs on a static tail slice (grid_step glacier_idx)
+        # lay out the remaining land columns [veg | bare | glacier]
+        # with lane-aligned padded buckets so the canopy solver runs
+        # only on the veg slice and the glacier solver on a static
+        # tail slice (grid_step glacier_idx / bare_idx; the
+        # reference's per-cell VEG and ICE branches)
         land_np = np.asarray(masks.land)
         glacier_np = np.asarray(masks.glacier)
+        bare_np = static_bare_mask(cfg, vegtyp) & land_np & ~glacier_np
         land_idx = None
+        real_pos = None
+        bare_start = glacier_start = None
         params_full = params
         land_full = masks.land
         full_tmpl = None
-        if not land_np.all() or glacier_np.any():
-            lnog = np.nonzero(land_np & ~glacier_np)[0]
-            lgl = np.nonzero(land_np & glacier_np)[0]
-            land_idx = np.concatenate([lnog, lgl])
+        if not land_np.all() or glacier_np.any() or bare_np.any():
+            lay = column_layout(cfg, vegtyp, land_np, glacier_np)
+            land_idx, real_pos = lay.src, lay.real_pos
+            bare_start, glacier_start = lay.bare_start, lay.glacier_start
             idxd = jnp.asarray(land_idx)
 
             def take(tree):
@@ -306,13 +317,13 @@ class LandModel:
                              "sh2o": state.sh2o, "smcwtd": state.smcwtd,
                              "deeprech": state.deeprech, "rech": state.rech}
             params, state, accum = take(params), take(state), take(accum)
-            masks = GridMasks(
-                land=jnp.ones(land_idx.shape[0], bool),
-                glacier=jnp.asarray(glacier_np[land_idx]))
+            masks = GridMasks(land=jnp.asarray(lay.land),
+                              glacier=jnp.asarray(lay.glacier))
 
         m = cls(cfg=cfg, rs=rs, domain=dom, params=params, state=state,
                 masks=masks, accum=accum, date=date, mmf=mmf,
-                smceq=smceq, stepwtd=stepwtd, land_idx=land_idx)
+                smceq=smceq, stepwtd=stepwtd, land_idx=land_idx,
+                real_pos=real_pos)
         m._land_full = land_full
         m._params_full = params_full
         m._full_tmpl = full_tmpl
@@ -331,14 +342,14 @@ class LandModel:
             m.forcing_reader = ncio.ForcingReader(rs.indir, rs.input_timestep)
         m.history = ncio.HistoryWriter(rs.outdir, cfg, dom.ny, dom.nx,
                                        vegtyp, soiltyp, dom.iswater)
-        # glacier tail slice when compacted; "auto" on the uncompacted
+        # static slices when compacted; "auto" on the uncompacted
         # layout (glaciers interleaved or absent)
-        gidx = (glacier_slice_start(masks) if land_idx is not None
-                else "auto")
-        m._step_fn = m._build_step_fn(gidx)
+        gidx = glacier_start if land_idx is not None else "auto"
+        bidx = bare_start if land_idx is not None else None
+        m._step_fn = m._build_step_fn(gidx, bidx)
         return m
 
-    def _build_step_fn(self, gidx):
+    def _build_step_fn(self, gidx, bidx=None):
         """One fused jitted step: column physics + (opt_run=5) the MMF
         groundwater update folded in under a ``lax.cond`` keyed on the
         step counter — no host round-trip per STEPWTD, and the whole
@@ -349,13 +360,17 @@ class LandModel:
         cfg = self.cfg
         if cfg.opt_run != 5:
             fn = lambda p, s, f, mk, a, mmf, it: grid_step(
-                cfg, p, s, f, mk, a, glacier_idx=gidx) + (mmf,)
+                cfg, p, s, f, mk, a, glacier_idx=gidx,
+                bare_idx=bidx) + (mmf,)
             return jax.jit(fn)
 
         shape = (self.domain.ny, self.domain.nx)
         stepwtd = self.stepwtd
         idxd = (jnp.asarray(self.land_idx) if self.land_idx is not None
                 else None)
+        if idxd is not None:
+            rp = jnp.asarray(self.real_pos)
+            idx_auth = jnp.asarray(self.land_idx[self.real_pos])
         tmpl = self._full_tmpl
         params_full = self._params_full
         land_full = self._land_full
@@ -363,7 +378,7 @@ class LandModel:
 
         def fused(params, state, forcing, masks, accum, mmf, itime):
             s, d, a = grid_step(cfg, params, state, forcing, masks, accum,
-                                glacier_idx=gidx)
+                                glacier_idx=gidx, bare_idx=bidx)
 
             def do_mmf(op):
                 s, mmf = op
@@ -371,7 +386,9 @@ class LandModel:
                     w, sm, sh = s.zwt, s.smc, s.sh2o
                     sw, dr, rc = s.smcwtd, s.deeprech, s.rech
                 else:
-                    scat = lambda t, c: t.at[idxd].set(c)
+                    # scatter only the authoritative copies (padding
+                    # duplicates would race the real cell's value)
+                    scat = lambda t, c: t.at[idx_auth].set(c[rp])
                     w, sm, sh = (scat(tmpl["zwt"], s.zwt),
                                  scat(tmpl["smc"], s.smc),
                                  scat(tmpl["sh2o"], s.sh2o))

@@ -27,12 +27,18 @@ KLATFACTOR = np.array([2., 3., 4., 10., 10., 12., 14., 20., 24., 28.,
 FANGLE = 0.45508986  # (:229)
 
 
-def lateralflow(wtd, klat, fdepth, topo, landmask, area, deltat):
+def lateralflow(wtd, klat, fdepth, topo, landmask, area, deltat,
+                row0=0, ny_global=None):
     """D8 lateral flow (LATERALFLOW :201-295) on (ny, nx) arrays.
 
     ``klat`` = SATDK(isltyp) * KLATFACTOR(isltyp) per cell.  Returns
     QLAT (m per WTDDT step).  The outermost ring gets QLAT=0, matching
     the reference's interior-only loop (:254-257).
+
+    For multi-host row blocks, pass arrays that include the 1-row halo
+    and give ``row0`` (global row index of this block's first row,
+    halo included) and ``ny_global`` so the interior-ring test uses
+    GLOBAL coordinates; the caller slices the halo rows off the result.
     """
     deep = wtd < -1.5
     fd = jnp.maximum(fdepth, 1e-6)
@@ -57,9 +63,10 @@ def lateralflow(wtd, klat, fdepth, topo, landmask, area, deltat):
     qlat = FANGLE * q * deltat / jnp.maximum(area, 1.0)
 
     ny, nx = wtd.shape
-    ii = jnp.arange(ny)[:, None]
+    nyg = ny if ny_global is None else int(ny_global)
+    ii = row0 + jnp.arange(ny)[:, None]
     jj = jnp.arange(nx)[None, :]
-    interior = (ii >= 1) & (ii <= ny - 3) & (jj >= 1) & (jj <= nx - 3)
+    interior = (ii >= 1) & (ii <= nyg - 3) & (jj >= 1) & (jj <= nx - 3)
     return jnp.where(interior & (landmask > 0), qlat, 0.0)
 
 
@@ -289,11 +296,18 @@ class MMFState(NamedTuple):
 
 
 def wtable_mmf(cfg, p, mmf: MMFState, grid_shape, landmask, smceq, wtd,
-               smc, sh2o, smcwtd, deeprech, rech, wtddt_minutes=30.0):
+               smc, sh2o, smcwtd, deeprech, rech, wtddt_minutes=30.0,
+               halo=None, row0=0, ny_global=None):
     """Per-STEPWTD groundwater update (WTABLE_mmf_noahmp :14-198).
 
     All column fields are flat (n,) with n = ny*nx; ``grid_shape`` is
     the static (ny, nx) used for the stencil.
+
+    Multi-host row blocks: ``halo`` is a dict of (2, nx) arrays — row
+    [0] = the global row just above this block, row [1] = just below —
+    for keys wtd/klat/fdepth/topo/lm/area (zeros for missing edges;
+    their contributions are masked by the global interior ring).
+    ``row0``/``ny_global`` place the block in global coordinates.
     """
     ny, nx = grid_shape
     deltat = wtddt_minutes * 60.0
@@ -303,10 +317,22 @@ def wtable_mmf(cfg, p, mmf: MMFState, grid_shape, landmask, smceq, wtd,
     klat = p.dksat * jnp.take(jnp.asarray(KLATFACTOR),
                               jnp.clip(p.soiltyp - 1, 0, 18))
     lm2 = jnp.where(landmask, 1, -1).reshape(ny, nx)
-    qlat2 = lateralflow(wtd.reshape(ny, nx), klat.reshape(ny, nx),
-                        mmf.fdepth.reshape(ny, nx),
-                        mmf.topo.reshape(ny, nx), lm2,
-                        mmf.area.reshape(ny, nx), deltat)
+    if halo is None:
+        qlat2 = lateralflow(wtd.reshape(ny, nx), klat.reshape(ny, nx),
+                            mmf.fdepth.reshape(ny, nx),
+                            mmf.topo.reshape(ny, nx), lm2,
+                            mmf.area.reshape(ny, nx), deltat)
+    else:
+        pad = lambda a2, h: jnp.concatenate(
+            [h[0][None], a2, h[1][None]], axis=0)
+        qlat2 = lateralflow(
+            pad(wtd.reshape(ny, nx), halo["wtd"]),
+            pad(klat.reshape(ny, nx), halo["klat"]),
+            pad(mmf.fdepth.reshape(ny, nx), halo["fdepth"]),
+            pad(mmf.topo.reshape(ny, nx), halo["topo"]),
+            pad(lm2, halo["lm"].astype(lm2.dtype)),
+            pad(mmf.area.reshape(ny, nx), halo["area"]),
+            deltat, row0=row0 - 1, ny_global=ny_global)[1:-1]
     qlat = qlat2.reshape(-1)
 
     # river exchange (:114-129)

@@ -118,7 +118,7 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
            eair, htop, tbot, zsnso, dzsnso, elai, esai, fwet, foln,
            fveg, qsnow, canliq, canice, tv, tg, stc, snowh, eah, tah,
            sneqvo, sneqv, sh2o, smc, snice, snliq, albold, cm, ch, q2,
-           tauss, qsfc, psfc, pblh=None) -> EnergyOut:
+           tauss, qsfc, psfc, pblh=None, assume_bare=False) -> EnergyOut:
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
     zsoil = jnp.asarray(cfg.zsoil, dtype=tg.dtype)
 
@@ -207,17 +207,34 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
     latheag = sel(frozen_ground, C.HSUB, C.HVAP)
     gammag = C.CPAIR * sfcprs / (0.622 * latheag)
 
-    # vegetated-fraction solver (always computed; masked blend below)
-    use_veg = veg & (fveg > 0.0)
-    vf = vege_flux(cfg, p, isnow, rad.sav, rad.sag, lwdn, ur, uu, vv,
-                   sfctmp, thair, qair, eair, rhoair, snowh, vai,
-                   gammav, gammag, fwet, rad.laisun, rad.laisha,
-                   dzsnso, htop, zlvl, zpd, z0m, jnp.maximum(fveg, 0.01),
-                   z0mg, emv, emg, canliq, canice, stc, tp.df, rsurf,
-                   latheav, latheag, rad.parsun, rad.parsha, igs, foln,
-                   co2air, o2air, btran, sfcprs, rhsur, eah, tah, tv,
-                   tg, cm, ch, psfc,
-                   pblh if pblh is not None else jnp.zeros_like(tg))
+    # vegetated-fraction solver.  The reference calls VEGE_FLUX only
+    # when VEG && FVEG>0 (:1704); under vmap both solvers normally run
+    # and the blend mask selects.  With assume_bare=True (a STATIC
+    # claim by the caller that this column's ELAI+ESAI is always 0 —
+    # barren/snow/water/urban vegtyp classes), the canopy solver is
+    # skipped entirely and its diag-only outputs are zeros; every
+    # state-feeding output is identical because use_veg would be False.
+    if assume_bare:
+        use_veg = jnp.zeros_like(veg)
+        z = jnp.zeros_like(tg)
+        from .flux import VegeFluxOut
+        vf = VegeFluxOut(eah=eah, tah=tah, tv=tv, tgv=z, cmv=z, chv=z,
+                         tauxv=z, tauyv=z, irg=z, irc=z, shg=z, shc=z,
+                         evg=z, evc=z, tr=z, ghv=z, t2mv=z, psnsun=z,
+                         psnsha=z, rssun=z, rssha=z, q2v=z, chleaf=z,
+                         chuc=z, chv2=z, qsfc=z)
+    else:
+        use_veg = veg & (fveg > 0.0)
+        vf = vege_flux(cfg, p, isnow, rad.sav, rad.sag, lwdn, ur, uu, vv,
+                       sfctmp, thair, qair, eair, rhoair, snowh, vai,
+                       gammav, gammag, fwet, rad.laisun, rad.laisha,
+                       dzsnso, htop, zlvl, zpd, z0m,
+                       jnp.maximum(fveg, 0.01),
+                       z0mg, emv, emg, canliq, canice, stc, tp.df, rsurf,
+                       latheav, latheag, rad.parsun, rad.parsha, igs,
+                       foln, co2air, o2air, btran, sfcprs, rhsur, eah,
+                       tah, tv, tg, cm, ch, psfc,
+                       pblh if pblh is not None else jnp.zeros_like(tg))
 
     bf = bare_flux(cfg, p, isnow, rad.sag, lwdn, ur, uu, vv, sfctmp,
                    thair, qair, eair, rhoair, snowh, dzsnso, zlvl,

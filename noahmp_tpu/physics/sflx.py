@@ -100,10 +100,13 @@ class SflxDiag(NamedTuple):
     errwat: jnp.ndarray
 
 
-def noahmp_sflx(cfg, p, s: ColumnState, f: Forcing, ist=1, ice=0):
+def noahmp_sflx(cfg, p, s: ColumnState, f: Forcing, ist=1, ice=0,
+                assume_bare=False):
     """One Noah-MP timestep on one column.
 
-    Returns (new ColumnState, SflxDiag).
+    Returns (new ColumnState, SflxDiag).  assume_bare statically skips
+    the canopy flux solver — valid only for columns whose vegtyp class
+    forces ELAI+ESAI=0 every step (see grid.driver.static_bare_mask).
     """
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
     zsoil = jnp.asarray(cfg.zsoil, s.tg.dtype)
@@ -146,7 +149,7 @@ def noahmp_sflx(cfg, p, s: ColumnState, f: Forcing, ist=1, ice=0):
                 s.canice, s.tv, s.tg, s.stc, s.snowh, s.eah, s.tah,
                 s.sneqvo, s.sneqv, s.sh2o, s.smc, s.snice, s.snliq,
                 s.albold, s.cm, s.ch, f.q2, s.tauss, s.qsfc, f.psfc,
-                pblh=f.pblh)
+                pblh=f.pblh, assume_bare=assume_bare)
 
     sice = jnp.maximum(0.0, en.smc - en.sh2o)
     sneqvo = en.sneqv

@@ -131,3 +131,57 @@ def test_compacted_glacier_path_matches_auto():
                                          glacier_idx=gi))(sp, ss, sf, sm, sa)
     np.testing.assert_allclose(np.asarray(s3.tg)[inv], np.asarray(s1.tg),
                                rtol=1e-6)
+
+
+def test_biome_bucketing_matches_auto():
+    """[veg | bare | glacier] ordering with the canopy solver statically
+    skipped on the bare slice (grid_step bare_idx) must reproduce the
+    full-width masked path: identical state, identical blended fluxes.
+    Canopy-solver raw diagnostics (SHC/SHG/IRG/...) are compared only on
+    non-bare columns — on statically-bare ones the reference never
+    calls VEGE_FLUX either (module_sf_noahmplsm.F90:1704), so those
+    lanes are meaningless in both designs."""
+    from noahmp_tpu.grid.driver import grid_step, biome_order, GridMasks
+
+    n = 96
+    cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
+    f = synthetic_forcing(n, hour=12.0)
+    vegtyp = np.asarray(params.vegtyp)
+
+    perm, inv, bs, gs = biome_order(cfg, vegtyp, masks.glacier)
+    assert bs < gs < n            # synthetic grid has bare + glacier
+    permd, invd = jnp.asarray(perm), jnp.asarray(inv)
+    reorder = lambda tree, ix: jtu.tree_map(
+        lambda x: x[ix] if getattr(x, "ndim", 0) >= 1
+        and x.shape[0] == n else x, tree)
+    pparams, pstate, paccum, pf = (reorder(params, permd),
+                                   reorder(state, permd),
+                                   reorder(accum, permd),
+                                   reorder(f, permd))
+    pmasks = GridMasks(land=masks.land[permd],
+                       glacier=masks.glacier[permd])
+
+    s1, d1, a1 = jax.jit(
+        lambda: grid_step(cfg, params, state, f, masks, accum))()
+    s2p, d2p, a2p = jax.jit(
+        lambda: grid_step(cfg, pparams, pstate, pf, pmasks, paccum,
+                          glacier_idx=gs, bare_idx=bs))()
+    s2, d2, a2 = (reorder(s2p, invd), reorder(d2p, invd),
+                  reorder(a2p, invd))
+
+    for name in s1.__dataclass_fields__:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name)),
+            rtol=2e-5, atol=1e-5, err_msg=name)
+
+    bare_cols = np.zeros(n, bool)
+    bare_cols[perm[bs:gs]] = True
+    veg_only_diags = {"shg", "shc", "evg", "ghv", "irg", "irc", "tr",
+                      "evc", "chleaf", "chuc", "chv2", "t2mv", "q2v"}
+    for name in d1._fields:
+        x1 = np.asarray(getattr(d1, name))
+        x2 = np.asarray(getattr(d2, name))
+        if name in veg_only_diags:
+            x1, x2 = x1[~bare_cols], x2[~bare_cols]
+        np.testing.assert_allclose(x1, x2, rtol=2e-5, atol=1e-4,
+                                   err_msg=name)
