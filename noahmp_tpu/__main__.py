@@ -38,7 +38,22 @@ def main(argv=None):
                    default="abort",
                    help="on conservation violation: abort (reference "
                         "behavior), warn, or skip the check")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address "
+                        "(with --nprocs/--procid); on TPU pods prefer "
+                        "--distributed for auto-detection")
+    p.add_argument("--nprocs", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--procid", type=int, default=None,
+                   help="multi-host: this process's id")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() with "
+                        "cluster auto-detection (TPU pod env)")
     args = p.parse_args(argv)
+
+    if args.coordinator or args.distributed:
+        from noahmp_tpu.grid import multihost
+        multihost.initialize(args.coordinator, args.nprocs, args.procid)
 
     from noahmp_tpu.driver.namelist import read_namelist
     from noahmp_tpu.driver.model import LandModel

@@ -93,6 +93,8 @@ class LandModel:
     _land_full: object = None        # full-grid land mask (MMF)
     _params_full: object = None      # full-grid params (MMF)
     _full_tmpl: dict = None          # full-grid templates for scatter
+    _shard: tuple = None             # multi-host (rank, row0, ny_global)
+    _static_halo: dict = None        # MMF stencil static edge rows
     _io_queue: object = None         # async history/restart writer
     _io_thread: object = None
     _io_error: object = None
@@ -174,6 +176,16 @@ class LandModel:
             from ..params import default_table_dir
             table_dir = default_table_dir()
         dom = ncio.read_domain(rs.const_file)
+        # multi-host: each process owns a contiguous row block of the
+        # domain (grid.multihost; SURVEY §5.8) — everything below
+        # operates on the local block, and I/O is per-host
+        nproc, rank = jax.process_count(), jax.process_index()
+        ny_global, row0 = dom.ny, 0
+        dom_full = dom
+        if nproc > 1:
+            from ..grid import multihost as mh
+            row0, r1 = mh.row_partition(dom.ny, nproc, rank)
+            dom = ncio.slice_domain(dom, row0, r1)
         n = dom.ny * dom.nx
         # the domain file's MMINLU attribute picks the landuse scheme
         # (module_hrldas_netcdf_io.F90:239); namelist is the fallback
@@ -196,6 +208,10 @@ class LandModel:
         rst_extras = {}
         if rs.from_restart:
             path = Path(rs.resdir) / rs.restart_file
+            if nproc > 1:
+                # multi-host runs write and resume per-host restart
+                # shards (no merge needed on the resume path)
+                path = Path(str(path) + f".p{rank:04d}")
             date, sf, af, mf, rst_extras = ncio.read_restart(
                 str(path), cfg, dom.ny, dom.nx)
             base = cold_start(cfg, tables, vegtyp, soiltyp,
@@ -239,15 +255,57 @@ class LandModel:
         if "smceq" in rst_extras:           # SMOISEQ restart carry (:661)
             smceq = rst_extras["smceq"]
         stepwtd = 1
+        static_halo = None
         if cfg.opt_run == 5:
             if "smceq" not in rst_extras:
                 smceq = eqsmoisture(cfg, tables, soiltyp)
             z = jnp.zeros(n, jnp.float32)
-            if rs.mmf_runoff_file and Path(rs.mmf_runoff_file).exists():
-                # read_mmf_runoff (:170-174, io:326-392)
-                mr = {k: jnp.asarray(v.reshape(n))
-                      for k, v in ncio.read_mmf_runoff(
-                          rs.mmf_runoff_file).items()}
+
+            mr2d = (ncio.read_mmf_runoff(rs.mmf_runoff_file)
+                    if rs.mmf_runoff_file
+                    and Path(rs.mmf_runoff_file).exists() else None)
+
+            if nproc > 1:
+                # static stencil halo rows straight from the GLOBAL
+                # setup files — no exchange needed for time-invariant
+                # fields; only WTD is exchanged at runtime
+                def edge_rows(a2d, fillv=0.0):
+                    nyg_, nx_ = a2d.shape
+                    top = (a2d[row0 - 1] if row0 > 0
+                           else np.full(nx_, fillv, a2d.dtype))
+                    bot = (a2d[row0 + dom.ny]
+                           if row0 + dom.ny < nyg_
+                           else np.full(nx_, fillv, a2d.dtype))
+                    return np.stack([top, bot]).astype(np.float32)
+
+                stf = dom_full.soiltyp
+                sv_e = np.clip(stf - 1, 0, tables.soil.ncat - 1)
+                from ..grid.lateral import KLATFACTOR
+                klat_full = (tables.soil.dksat[sv_e]
+                             * KLATFACTOR[np.clip(stf - 1, 0, 18)])
+                water_f = ((dom_full.xland > 1.5)
+                           | (dom_full.vegtyp == dom.iswater))
+                land_f = ~water_f & ~(dom_full.seaice > 0.5)
+                static_halo = {
+                    "klat": edge_rows(klat_full.astype(np.float32)),
+                    "topo": edge_rows(dom_full.hgt),
+                    "lm": edge_rows(
+                        np.where(land_f, 1.0, -1.0).astype(np.float32)),
+                    "area": np.full((2, dom.nx), dom.dx * dom.dx,
+                                    np.float32),
+                    "fdepth": (edge_rows(mr2d["fdepth"])
+                               if mr2d is not None
+                               else np.full((2, dom.nx), 100.0,
+                                            np.float32)),
+                }
+
+            if mr2d is not None:
+                # read_mmf_runoff (:170-174, io:326-392); multi-host
+                # slices this process's row block out of the global file
+                sl = slice(row0, row0 + dom.ny)
+                mr = {k: jnp.asarray((v[sl] if nproc > 1 else v)
+                                     .reshape(n))
+                      for k, v in mr2d.items()}
                 mmf = MMFState(
                     eqzwt=mr["eqzwt"], riverbed=mr["riverbed"],
                     rivercond=mr["rivercond"], pexp=mr["pexp"],
@@ -260,11 +318,16 @@ class LandModel:
                     # MMF files carry WTD in the negative-down metres
                     # convention (compared directly to ZSOIL :1402)
                     wtd0 = np.asarray(mr["zwt"])
+                    init_halo = None
+                    if nproc > 1:
+                        init_halo = dict(static_halo,
+                                         wtd=edge_rows(mr2d["zwt"]))
                     wtd, smois2, sh2o2, smceq, smcwtd = groundwater_init(
                         cfg, tables, soiltyp, vegtyp, tables.veg.isurban,
                         np.asarray(masks.land), mmf, (dom.ny, dom.nx),
                         wtd0, np.asarray(state.smc), np.asarray(state.sh2o),
-                        WTDDT_MINUTES)
+                        WTDDT_MINUTES, halo=init_halo, row0=row0,
+                        ny_global=ny_global if nproc > 1 else None)
                     state = dataclasses.replace(
                         state, zwt=jnp.asarray(wtd),
                         smc=jnp.asarray(smois2), sh2o=jnp.asarray(sh2o2),
@@ -324,6 +387,9 @@ class LandModel:
                 masks=masks, accum=accum, date=date, mmf=mmf,
                 smceq=smceq, stepwtd=stepwtd, land_idx=land_idx,
                 real_pos=real_pos)
+        if static_halo is not None:
+            m._static_halo = {k: jnp.asarray(v)
+                              for k, v in static_halo.items()}
         m._land_full = land_full
         m._params_full = params_full
         m._full_tmpl = full_tmpl
@@ -339,9 +405,14 @@ class LandModel:
         m.gvfmax = _gvf("GVFMAX", dom.gvfmax)
         m.shdmax_grid = _gvf("SHDMAX", dom.shdmax)
         if rs.indir:
-            m.forcing_reader = ncio.ForcingReader(rs.indir, rs.input_timestep)
+            m.forcing_reader = ncio.ForcingReader(
+                rs.indir, rs.input_timestep,
+                row_range=((row0, row0 + dom.ny) if nproc > 1 else None))
+        shard = (rank, row0, ny_global) if nproc > 1 else None
+        m._shard = shard
         m.history = ncio.HistoryWriter(rs.outdir, cfg, dom.ny, dom.nx,
-                                       vegtyp, soiltyp, dom.iswater)
+                                       vegtyp, soiltyp, dom.iswater,
+                                       shard=shard)
         # static slices when compacted; "auto" on the uncompacted
         # layout (glaciers interleaved or absent)
         gidx = glacier_start if land_idx is not None else "auto"
@@ -375,44 +446,68 @@ class LandModel:
         params_full = self._params_full
         land_full = self._land_full
         smceq_full = jnp.asarray(self.smceq, jnp.float32)
+        shard = self._shard
+        row0 = shard[1] if shard else 0
+        nyg = shard[2] if shard else None
+
+        def mmf_update(s, mmf, halo=None):
+            if idxd is None:
+                w, sm, sh = s.zwt, s.smc, s.sh2o
+                sw, dr, rc = s.smcwtd, s.deeprech, s.rech
+            else:
+                # scatter only the authoritative copies (padding
+                # duplicates would race the real cell's value)
+                scat = lambda t, c: t.at[idx_auth].set(c[rp])
+                w, sm, sh = (scat(tmpl["zwt"], s.zwt),
+                             scat(tmpl["smc"], s.smc),
+                             scat(tmpl["sh2o"], s.sh2o))
+                sw, dr, rc = (scat(tmpl["smcwtd"], s.smcwtd),
+                              scat(tmpl["deeprech"], s.deeprech),
+                              scat(tmpl["rech"], s.rech))
+            wtd, smc, sh2o, smcwtd, deeprech, mmf2 = wtable_mmf(
+                cfg, params_full, mmf, shape, land_full, smceq_full,
+                w, sm, sh, sw, dr, rc, WTDDT_MINUTES,
+                halo=halo, row0=row0, ny_global=nyg)
+            if idxd is None:
+                s2 = dataclasses.replace(
+                    s, zwt=wtd, smc=smc, sh2o=sh2o, smcwtd=smcwtd,
+                    deeprech=deeprech)
+            else:
+                s2 = dataclasses.replace(
+                    s, zwt=wtd[idxd], smc=smc[idxd], sh2o=sh2o[idxd],
+                    smcwtd=smcwtd[idxd], deeprech=deeprech[idxd])
+            return s2, mmf2
+
+        if shard is not None:
+            # multi-host: MMF runs per STEPWTD from step(), with the
+            # edge-row WTD halo exchanged through the KV store — only
+            # the stencil's 1-row dependency crosses hosts; the column
+            # step itself stays communication-free
+            def full_wtd_edges(s):
+                w = (s.zwt if idxd is None
+                     else tmpl["zwt"].at[idx_auth].set(s.zwt[rp]))
+                w2 = w.reshape(shape)
+                return jnp.stack([w2[0], w2[-1]])
+
+            self._edge_fn = jax.jit(full_wtd_edges)
+            self._wtd_fn = jax.jit(
+                lambda s, mmf, halo_wtd: mmf_update(
+                    s, mmf, dict(self._static_halo, wtd=halo_wtd)))
+            fn = lambda p, s, f, mk, a, mmf, it: grid_step(
+                cfg, p, s, f, mk, a, glacier_idx=gidx,
+                bare_idx=bidx) + (mmf,)
+            return jax.jit(fn)
 
         def fused(params, state, forcing, masks, accum, mmf, itime):
             s, d, a = grid_step(cfg, params, state, forcing, masks, accum,
                                 glacier_idx=gidx, bare_idx=bidx)
-
-            def do_mmf(op):
-                s, mmf = op
-                if idxd is None:
-                    w, sm, sh = s.zwt, s.smc, s.sh2o
-                    sw, dr, rc = s.smcwtd, s.deeprech, s.rech
-                else:
-                    # scatter only the authoritative copies (padding
-                    # duplicates would race the real cell's value)
-                    scat = lambda t, c: t.at[idx_auth].set(c[rp])
-                    w, sm, sh = (scat(tmpl["zwt"], s.zwt),
-                                 scat(tmpl["smc"], s.smc),
-                                 scat(tmpl["sh2o"], s.sh2o))
-                    sw, dr, rc = (scat(tmpl["smcwtd"], s.smcwtd),
-                                  scat(tmpl["deeprech"], s.deeprech),
-                                  scat(tmpl["rech"], s.rech))
-                wtd, smc, sh2o, smcwtd, deeprech, mmf2 = wtable_mmf(
-                    cfg, params_full, mmf, shape, land_full, smceq_full,
-                    w, sm, sh, sw, dr, rc, WTDDT_MINUTES)
-                if idxd is None:
-                    s2 = dataclasses.replace(
-                        s, zwt=wtd, smc=smc, sh2o=sh2o, smcwtd=smcwtd,
-                        deeprech=deeprech)
-                else:
-                    s2 = dataclasses.replace(
-                        s, zwt=wtd[idxd], smc=smc[idxd], sh2o=sh2o[idxd],
-                        smcwtd=smcwtd[idxd], deeprech=deeprech[idxd])
-                return s2, mmf2
-
             s, mmf = jax.lax.cond((itime + 1) % stepwtd == 0,
-                                  do_mmf, lambda op: op, (s, mmf))
+                                  lambda op: mmf_update(*op),
+                                  lambda op: op, (s, mmf))
             return s, d, a, mmf
 
         return jax.jit(fused)
+
 
     # ------------------------------------------------------------------
     def build_forcing(self) -> Forcing:
@@ -517,6 +612,18 @@ class LandModel:
         self.state, diag, self.accum, self.mmf = self._step_fn(
             self.params, self.state, forcing, self.masks, self.accum,
             self.mmf, jnp.asarray(self.itime, jnp.int32))
+
+        # multi-host MMF: exchange the 1-row WTD halo through the KV
+        # store, then run the jitted stencil+UPDATEWTD on this block
+        if (self.cfg.opt_run == 5 and self._shard is not None
+                and (self.itime + 1) % self.stepwtd == 0):
+            from ..grid import multihost as mh
+            edges = np.asarray(self._edge_fn(self.state))
+            above, below = mh.exchange_edge_rows(
+                f"mmf/{self.itime}", edges[0], edges[1])
+            self.state, self.mmf = self._wtd_fn(
+                self.state, self.mmf,
+                jnp.asarray(np.stack([above, below])))
 
         # conservation guard (reference ERROR aborts every step,
         # module_sf_noahmplsm.F90:1164-1223; here a fused device-side
@@ -629,7 +736,10 @@ class LandModel:
                   (("FPAR", self.fpar), ("GVFMIN", self.gvfmin),
                    ("GVFMAX", self.gvfmax), ("SHDMAX", self.shdmax_grid))
                   if v is not None}
-        kw = dict(mmf=mmf_now, extras=extras, smceq=self.smceq)
+        kw = dict(mmf=mmf_now, extras=extras, smceq=self.smceq,
+                  shard=self._shard)
+        if self._shard:
+            args = (args[0] + f".p{self._shard[0]:04d}",) + args[1:]
         if _async:
             self._submit_io(
                 lambda *a, _kw=kw: ncio.write_restart(*a, **_kw), *args)

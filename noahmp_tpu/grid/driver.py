@@ -159,9 +159,16 @@ class ColumnLayout(NamedTuple):
 
 
 def column_layout(cfg, vegtyp, land_mask, glacier_mask,
-                  pad_to=1024) -> ColumnLayout:
+                  pad_to=None) -> ColumnLayout:
     """Build the padded [veg | bare | glacier] device layout over the
-    land columns of a full (ny*nx,) grid (host-side)."""
+    land columns of a full (ny*nx,) grid (host-side).
+
+    pad_to=None picks per backend: 1024 on TPU (the measured tiling
+    sweet spot), 8 elsewhere (padding tiny CPU-test domains 64x would
+    swamp them)."""
+    if pad_to is None:
+        pad_to = (1024 if jax.default_backend() in ("tpu", "axon")
+                  else 8)
     land = np.asarray(land_mask).astype(bool)
     g = np.asarray(glacier_mask).astype(bool) & land
     b = static_bare_mask(cfg, vegtyp) & land & ~g

@@ -424,7 +424,8 @@ def eqsmoisture(cfg, tables, soiltyp):
 
 def groundwater_init(cfg, tables, soiltyp, vegtyp, isurban, landmask,
                      mmf: MMFState, grid_shape, wtd, smois, sh2o,
-                     wtddt_minutes=30.0):
+                     wtddt_minutes=30.0, halo=None, row0=0,
+                     ny_global=None):
     """Equilibrium MMF groundwater initialization
     (GROUNDWATER_INIT, module_sf_noahmpdrv.F90:1286-1471).
 
@@ -456,16 +457,29 @@ def groundwater_init(cfg, tables, soiltyp, vegtyp, isurban, landmask,
     urban = np.asarray(vegtyp) == isurban
     smcmax = np.where(urban, 0.45, smcmax)
 
-    # one lateral-flow + river-exchange pass (:1349-1374)
+    # one lateral-flow + river-exchange pass (:1349-1374); with a
+    # multi-host row block, `halo` carries the neighbour rows (read
+    # straight from the global setup files at init — no exchange)
     klat = (dksat * KLATFACTOR[np.clip(sv, 0, 18)]).astype(np.float32)
     lm2 = np.where(np.asarray(landmask), 1, -1).reshape(ny, nx)
-    qlat = np.asarray(lateralflow(
-        jnp.asarray(wtd.reshape(ny, nx), jnp.float32),
-        jnp.asarray(klat.reshape(ny, nx)),
-        jnp.asarray(np.asarray(mmf.fdepth).reshape(ny, nx)),
-        jnp.asarray(np.asarray(mmf.topo).reshape(ny, nx)),
-        jnp.asarray(lm2), jnp.asarray(np.asarray(mmf.area).reshape(ny, nx)),
-        deltat)).reshape(-1).astype(np.float64)
+    args2d = (jnp.asarray(wtd.reshape(ny, nx), jnp.float32),
+              jnp.asarray(klat.reshape(ny, nx)),
+              jnp.asarray(np.asarray(mmf.fdepth).reshape(ny, nx)),
+              jnp.asarray(np.asarray(mmf.topo).reshape(ny, nx)),
+              jnp.asarray(lm2),
+              jnp.asarray(np.asarray(mmf.area).reshape(ny, nx)))
+    if halo is None:
+        qlat = np.asarray(lateralflow(*args2d, deltat)) \
+            .reshape(-1).astype(np.float64)
+    else:
+        hs = [jnp.asarray(halo[k], jnp.float32) for k in
+              ("wtd", "klat", "fdepth", "topo", "lm", "area")]
+        padded = [jnp.concatenate(
+            [h[0][None], a.astype(jnp.float32), h[1][None]], axis=0)
+            for a, h in zip(args2d, hs)]
+        qlat = np.asarray(lateralflow(
+            *padded, deltat, row0=row0 - 1,
+            ny_global=ny_global))[1:-1].reshape(-1).astype(np.float64)
     riverbed = np.asarray(mmf.riverbed, np.float64).reshape(-1)
     eqzwt = np.asarray(mmf.eqzwt, np.float64).reshape(-1)
     rcond = np.where((wtd > riverbed) & (eqzwt > riverbed),

@@ -138,6 +138,40 @@ class _Var:
     def __getitem__(self, key):
         return self._read()[key]
 
+    def read_rows(self, r0, r1, row_axis=-2):
+        """Hyperslab read of rows [r0, r1) along ``row_axis`` (the
+        south_north axis of (Time, sn, we) / (sn, we) layouts) without
+        touching the rest of the variable — the per-host read the
+        reference implements as io-rank scatter
+        (module_mpp_land.F90:645-721)."""
+        lib = self._nc._lib
+        nd = len(self.shape)
+        ax = row_axis % nd
+        start = [0] * nd
+        count = list(self.shape)
+        start[ax], count[ax] = int(r0), int(r1 - r0)
+        startc = (ctypes.c_size_t * nd)(*start)
+        countc = (ctypes.c_size_t * nd)(*count)
+        if self._xtype in (NC_INT, NC_SHORT, NC_BYTE):
+            arr = np.empty(count, np.int32)
+            _chk(lib.nc_get_vara_int(
+                self._nc._ncid, self._varid, startc, countc,
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int))),
+                self.name)
+        elif self._xtype == NC_DOUBLE:
+            arr = np.empty(count, np.float64)
+            _chk(lib.nc_get_vara_double(
+                self._nc._ncid, self._varid, startc, countc,
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))),
+                self.name)
+        else:
+            arr = np.empty(count, np.float32)
+            _chk(lib.nc_get_vara_float(
+                self._nc._ncid, self._varid, startc, countc,
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))),
+                self.name)
+        return arr
+
     def __setitem__(self, key, value):
         nc, lib = self._nc, self._nc._lib
         nc._enddef()

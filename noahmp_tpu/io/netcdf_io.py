@@ -247,6 +247,21 @@ def read_domain(path) -> Domain:
                       shdmax=rd("SHDMAX"))
 
 
+def slice_domain(dom: Domain, r0: int, r1: int) -> Domain:
+    """Row-block view [r0, r1) of a domain for multi-host runs (the
+    domain file is read once at init, so a full read + slice is fine;
+    the per-step forcing path does true hyperslab reads)."""
+    def cut(a):
+        return a[r0:r1] if isinstance(a, np.ndarray) and a.ndim == 2 \
+            else a
+    return dataclasses.replace(
+        dom, ny=r1 - r0,
+        **{f.name: cut(getattr(dom, f.name))
+           for f in dataclasses.fields(dom)
+           if f.name != "ny" and isinstance(getattr(dom, f.name),
+                                            np.ndarray)})
+
+
 FORCING_VARS = ("T2D", "Q2D", "U2D", "V2D", "PSFC", "LWDOWN", "SWDOWN",
                 "RAINRATE")
 # optional per-file vegetation forcing (hrldas_input_read :1238-1255)
@@ -448,14 +463,44 @@ def read_mmf_runoff(path):
     return out
 
 
-def read_forcing_file(path):
-    """Read one forcing file -> dict of (ny, nx) arrays."""
+def read_forcing_file(path, row_range=None, with_optional=False):
+    """Read one forcing file -> dict of (ny, nx) arrays.
+
+    With ``row_range=(r0, r1)`` only those south_north rows are read —
+    a true per-host hyperslab (nc_get_vara / mmap pages), the TPU
+    replacement for the reference's io-rank read+scatter funnel
+    (module_mpp_land.F90:645-721)."""
+    names = FORCING_VARS + (OPTIONAL_FORCING_VARS if with_optional else ())
     out = {}
-    with open_nc(path) as nc:
-        for name in FORCING_VARS:
-            a = nc.variables[name][:]
-            out[name] = np.ascontiguousarray(
-                a[0] if a.ndim == 3 else a, dtype=np.float32)
+    if row_range is None:
+        with open_nc(path) as nc:
+            for name in names:
+                if name not in nc.variables:
+                    continue
+                a = nc.variables[name][:]
+                out[name] = np.ascontiguousarray(
+                    a[0] if a.ndim == 3 else a, dtype=np.float32)
+        return out
+    r0, r1 = row_range
+    from .nc4 import is_hdf5, nc4_file
+    if is_hdf5(path):
+        with nc4_file(path, "r") as nc:
+            for name in names:
+                if name not in nc.variables:
+                    continue
+                a = nc.variables[name].read_rows(r0, r1)
+                out[name] = np.ascontiguousarray(
+                    a[0] if a.ndim == 3 else a, dtype=np.float32)
+        return out
+    # classic format: lazy mmap slice reads only the touched pages
+    from scipy.io import netcdf_file as _ncf
+    with _ncf(str(path), "r", mmap=True) as nc:
+        for name in names:
+            if name not in nc.variables:
+                continue
+            data = nc.variables[name].data
+            a = data[0, r0:r1] if data.ndim == 3 else data[r0:r1]
+            out[name] = np.array(a, dtype=np.float32)  # copy off the mmap
     return out
 
 
@@ -470,10 +515,12 @@ class ForcingReader:
     the current interval); scipy is the fallback.
     """
 
-    def __init__(self, indir, input_timestep, filename_tpl="{date}.LDASIN_DOMAIN1"):
+    def __init__(self, indir, input_timestep,
+                 filename_tpl="{date}.LDASIN_DOMAIN1", row_range=None):
         self.indir = Path(indir)
         self.input_timestep = int(input_timestep)
         self.tpl = filename_tpl
+        self.row_range = row_range   # per-host hyperslab rows (r0, r1)
         self.last = None       # (epoch_seconds, dict of flat arrays)
         self.next = None
         self._prefetch = None  # lazily sized ForcingPrefetcher
@@ -486,6 +533,11 @@ class ForcingReader:
         return self.indir / self.tpl.format(date=compact[:10])
 
     def _read_file(self, path):
+        if self.row_range is not None:
+            # per-host hyperslab read; the fastnc prefetcher decodes
+            # whole variables, so multi-host reads go direct
+            return read_forcing_file(path, row_range=self.row_range,
+                                     with_optional=True)
         from .fastnc import ForcingPrefetcher, var_shape, available
         if self._prefetch is None:
             if available():
@@ -577,7 +629,8 @@ class HistoryWriter:
     (:1970-1974).
     """
 
-    def __init__(self, outdir, cfg, ny, nx, vegtyp, soiltyp, iswater=16):
+    def __init__(self, outdir, cfg, ny, nx, vegtyp, soiltyp, iswater=16,
+                 shard=None):
         self.outdir = Path(outdir)
         self.outdir.mkdir(parents=True, exist_ok=True)
         self.cfg = cfg
@@ -585,13 +638,20 @@ class HistoryWriter:
         self.vegtyp = np.asarray(vegtyp).reshape(ny, nx)
         self.soiltyp = np.asarray(soiltyp).reshape(ny, nx)
         self.water = self.vegtyp == iswater
+        # multi-host: (rank, row0, ny_global) -> per-process shard file
+        # (.pNNNN) with ROW0/GLOBAL_NY attrs for merge_shards
+        self.shard = shard
 
     def write(self, date_str, state, diag, accum, forcing=None, mmf=None):
         ny, nx = self.ny, self.nx
         nsnow, nsoil = self.cfg.nsnow, self.cfg.nsoil
         compact = date_str.replace("-", "").replace(":", "").replace("_", "T")
-        path = self.outdir / f"output.{compact}.nc"
+        suffix = f".p{self.shard[0]:04d}" if self.shard else ""
+        path = self.outdir / f"output.{compact}.nc{suffix}"
         with _wfile(path) as nc:
+            if self.shard:
+                nc.ROW0 = int(self.shard[1])
+                nc.GLOBAL_NY = int(self.shard[2])
             nc.createDimension("Time", 1)
             nc.createDimension("DateStrLen", 19)
             nc.createDimension("west_east", nx)
@@ -669,13 +729,17 @@ RESTART_MMF = [("QRFSXY", "qrfs"), ("QSPRINGSXY", "qsprings"),
 
 
 def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None,
-                  extras=None, smceq=None):
+                  extras=None, smceq=None, shard=None):
     """Restart writer (hrldas_restart_* :2065-2524 + driver
     :597-675).  `extras` carries the driver-level 2D fields
     (RESTART_EXTRAS: FPAR/GVFMIN/GVFMAX/SHDMAX, driver :645-649);
-    `smceq` the equilibrium soil moisture (SMOISEQ, :661)."""
+    `smceq` the equilibrium soil moisture (SMOISEQ, :661); `shard` the
+    multi-host (rank, row0, ny_global) triple."""
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
     with _wfile(path) as nc:
+        if shard:
+            nc.ROW0 = int(shard[1])
+            nc.GLOBAL_NY = int(shard[2])
         nc.createDimension("Time", 1)
         nc.createDimension("DateStrLen", 19)
         nc.createDimension("west_east", nx)

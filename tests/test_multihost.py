@@ -1,0 +1,185 @@
+"""Multi-host execution tests (SURVEY §5.8; VERDICT r1 missing #2).
+
+Two real OS processes under jax.distributed over localhost, each owning
+a row block of the domain with per-host forcing hyperslab reads and
+per-host history/restart shards; results must match the single-process
+run exactly (column physics has no cross-column reductions, so the
+row split cannot reassociate anything — the only cross-host coupling
+is the MMF WTD halo, which is exchanged through the KV store and must
+reproduce the global stencil bit-for-bit)."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from scipy.io import netcdf_file
+
+from noahmp_tpu.driver.namelist import read_namelist
+from noahmp_tpu.io import netcdf_io as ncio
+
+from test_driver_io import write_domain_file, write_forcings
+
+HERE = Path(__file__).parent
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _make_case(tmp_path, ny, nx, opt_run=3, mmf_file=""):
+    dom = tmp_path / "domain.nc"
+    write_domain_file(str(dom), ny, nx)
+    indir = tmp_path / "input"
+    indir.mkdir()
+    write_forcings(str(indir), "2017-05-01_00:00:00", 6, 10800, ny, nx)
+    nml = tmp_path / "noahmp.namelist"
+    nml.write_text(f"""
+&HRLDAS_NOAHMP
+ CONST_FILE = '{dom}'
+ INDIR = '{indir}'
+ OUTDIR = '{tmp_path}/output'
+ RESDIR = '{tmp_path}/restart'
+ MMF_RUNOFF_FILE = '{mmf_file}'
+ START_YEAR = 2017
+ START_MONTH = 5
+ START_DAY = 1
+ START_HOUR = 0
+ START_MIN = 0
+ START_SEC = 0
+ KDAY = 1
+ DYNAMIC_VEG_OPTION = 3
+ CANOPY_STOMATAL_RESISTANCE_OPTION = 1
+ BTR_OPTION = 1
+ RUNOFF_OPTION = {opt_run}
+ SURFACE_DRAG_OPTION = 1
+ FROZEN_SOIL_OPTION = 1
+ SUPERCOOLED_WATER_OPTION = 1
+ RADIATIVE_TRANSFER_OPTION = 3
+ SNOW_ALBEDO_OPTION = 2
+ PRECIPITATION_PARTITION_OPTION = 1
+ TBOT_OPTION = 2
+ TEMP_TIME_SCHEME_OPTION = 1
+ INPUT_TIMESTEP = 10800
+ MODEL_TIMESTEP = 3600
+ OUTPUT_TIMESTEP = 10800
+ RESTART_TIMESTEP = 0
+ NSOIL = 4
+ soil_layer_thickness(1) = 0.10
+ soil_layer_thickness(2) = 0.30
+ soil_layer_thickness(3) = 0.60
+ soil_layer_thickness(4) = 1.00
+ ZLVL = 30.0
+/
+""")
+    return nml
+
+
+def _run_workers(tmp_path, nml, steps, nprocs=2):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = str(HERE.parent)
+    procs, outs = [], []
+    for pid in range(nprocs):
+        out = tmp_path / f"state_p{pid}.npz"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-u", str(HERE / "mh_worker.py"),
+             str(pid), str(nprocs), f"127.0.0.1:{port}", str(nml),
+             str(steps), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    return [dict(np.load(o)) for o in outs]
+
+
+def _single_process(nml, steps):
+    from noahmp_tpu.driver.model import LandModel
+    cfg, rs = read_namelist(str(nml))
+    m = LandModel.from_namelist(cfg, rs)
+    m.run(steps)
+    m.flush_io()
+    return m, m._expand_tree(m.state)
+
+
+def _assemble(shards, field, ny, nx):
+    rows = sorted(shards, key=lambda s: int(s["row0"]))
+    parts = [s[field].reshape((int(s["ny"]), nx) + s[field].shape[1:])
+             for s in rows]
+    return np.concatenate(parts, axis=0).reshape(
+        (ny * nx,) + parts[0].shape[2:])
+
+
+def test_two_process_matches_single(tmp_path):
+    """2-process row-split run == single-process run, field by field
+    (opt_run=3: zero cross-host communication)."""
+    ny, nx = 8, 6
+    nml = _make_case(tmp_path, ny, nx)
+    steps = 4
+
+    m, ref = _single_process(nml, steps)
+    shards = _run_workers(tmp_path, nml, steps)
+
+    for f in ref.__dataclass_fields__:
+        got = _assemble(shards, f, ny, nx)
+        np.testing.assert_array_equal(
+            got, np.asarray(getattr(ref, f)), err_msg=f)
+
+    # per-host history shards merge into the single-process layout
+    out_shards = sorted((tmp_path / "output").glob("output.*.nc.p*"))
+    assert len(out_shards) >= 2
+    from noahmp_tpu.grid.multihost import merge_shards
+    date_key = out_shards[0].name.split(".nc")[0]
+    group = [p for p in out_shards if p.name.startswith(date_key)]
+    merged = tmp_path / "merged.nc"
+    merge_shards(group, merged)
+    single = tmp_path / "output" / f"{date_key}.nc"
+    with ncio.open_nc(str(merged)) as a, ncio.open_nc(str(single)) as b:
+        tg_a = np.asarray(a.variables["TG"][0])
+        tg_b = np.asarray(b.variables["TG"][0])
+        np.testing.assert_array_equal(tg_a, tg_b)
+
+
+def test_two_process_mmf_halo_matches_single(tmp_path):
+    """opt_run=5: the MMF D8 stencil crosses the row-block boundary;
+    the KV-store WTD halo must reproduce the global stencil exactly."""
+    ny, nx = 10, 6
+    mmf_f = tmp_path / "mmf.nc"
+    with netcdf_file(str(mmf_f), "w") as nc:
+        nc.createDimension("Time", 1)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("west_east", nx)
+        rng = np.random.RandomState(7)
+        vals = {"ZWT": -1.0 - rng.rand(ny, nx).astype(np.float32),
+                "EQZWT": np.full((ny, nx), -1.5, np.float32),
+                "RIVERBED": np.full((ny, nx), -3.0, np.float32),
+                "RIVERCOND": np.full((ny, nx), 0.05, np.float32),
+                "PEXP": np.full((ny, nx), 1.0, np.float32),
+                "FDEPTH": np.full((ny, nx), 80.0, np.float32)}
+        for name, val in vals.items():
+            v = nc.createVariable(name, "f", ("Time", "south_north",
+                                              "west_east"))
+            v[0] = val
+
+    nml = _make_case(tmp_path, ny, nx, opt_run=5, mmf_file=mmf_f)
+    steps = 3   # stepwtd=1 at dt=3600 -> the halo path runs every step
+
+    m, ref = _single_process(nml, steps)
+    assert m.cfg.opt_run == 5 and m.mmf is not None
+    shards = _run_workers(tmp_path, nml, steps)
+
+    for f in ("zwt", "smc", "sh2o", "smcwtd", "tg", "wa"):
+        got = _assemble(shards, f, ny, nx)
+        np.testing.assert_allclose(
+            got, np.asarray(getattr(ref, f)), rtol=0, atol=1e-6,
+            err_msg=f)
