@@ -17,18 +17,29 @@ from pathlib import Path
 
 import numpy as np
 
-_REPO = Path(__file__).resolve().parents[2]
-_SRC = _REPO / "native" / "fastnc.cpp"
-_SO = _REPO / "native" / "libfastnc.so"
+_PKG = Path(__file__).resolve().parents[1]
+_SRC = _PKG / "native" / "fastnc.cpp"
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
 
-def _build():
+def _so_path():
+    """Build artifact location: next to the source when writable
+    (in-repo dev), else a user cache dir (installed package)."""
+    d = _SRC.parent
+    if os.access(d, os.W_OK):
+        return d / "libfastnc.so"
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache")) / "noahmp_tpu"
+    cache.mkdir(parents=True, exist_ok=True)
+    return cache / "libfastnc.so"
+
+
+def _build(so):
     subprocess.run(
         ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-         str(_SRC), "-o", str(_SO)],
+         str(_SRC), "-o", str(so)],
         check=True, capture_output=True)
 
 
@@ -40,8 +51,9 @@ def get_lib():
             return _LIB
         _TRIED = True
         try:
+            _SO = _so_path()
             if not _SO.exists() or (_SRC.stat().st_mtime > _SO.stat().st_mtime):
-                _build()
+                _build(_SO)
             lib = ctypes.CDLL(str(_SO))
             lib.fastnc_read_var.restype = ctypes.c_long
             lib.fastnc_read_var.argtypes = [
