@@ -34,7 +34,9 @@ import base64
 import numpy as np
 import jax
 
-_TIMEOUT_MS = 120_000
+# generous default: a peer may be inside a cold XLA compile (minutes on
+# a loaded host) when we first wait on its halo row or a barrier
+_TIMEOUT_MS = 900_000
 
 
 def initialize(coordinator=None, num_processes=None, process_id=None,

@@ -257,9 +257,26 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
             jnp.ones((), dtype),
             (tv * 0.0).astype(jnp.int32), (tv * 0.0).astype(jnp.int32))
     carry1 = loop1_body(0, init, with_stomata=True)
+    # Early exit once every column has latched its LITER freeze
+    # (:3484-3489 sets LITER then stops updating).  Under vmap the
+    # while_loop runs until ALL lanes in the batch are done; with the
+    # [veg | bare | glacier] bucketing the canopy batch contains only
+    # vegetated columns, which do converge — a round-1 experiment
+    # without bucketing measured this as a wash because bare lanes
+    # never latch (PERF.md).
+    def l1_cond(state):
+        it, c = state
+        return (it < NITERC) & jnp.any(c[25] == 0)   # c[25] = done
+
+    def l1_body(state):
+        it, c = state
+        return it + 1, loop1_body(it, c)
+
+    _, carry1 = jax.lax.while_loop(
+        l1_cond, l1_body, (jnp.asarray(1, jnp.int32), carry1))
     (tv, tah, eah, cm, ch, qsfc, sf, mozg, fhg, h, hg, qfx, rssun,
      rssha, psnsun, psnsha, irc, shc, evc, tr, dtv, rahc, rahg, rawg,
-     rb, done, liter) = jax.lax.fori_loop(1, NITERC, loop1_body, carry1)
+     rb, done, liter) = carry1
 
     # under-canopy ground Newton (:3493-3528)
     air_g = -emg * (1.0 - emv) * lwdn - emg * emv * C.SB * tv ** 4

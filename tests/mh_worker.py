@@ -32,7 +32,7 @@ def main():
     np.savez(out, row0=m._shard[1], ny=m.domain.ny, nx=m.domain.nx,
              **{f: np.asarray(getattr(full, f))
                 for f in full.__dataclass_fields__})
-    mh.barrier("mh-test-done")
+    mh.barrier("mh-test-done", 900_000)
     jax.distributed.shutdown()
 
 

@@ -26,12 +26,21 @@ from test_driver_io import write_domain_file, write_forcings
 HERE = Path(__file__).parent
 
 
-def _free_port():
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+def _free_port(tag):
+    """Deterministic per-test port: bind(0)-then-close races when
+    xdist runs both multihost tests concurrently — two coordinators
+    then share one port and the jobs cross-join, corrupting results."""
+    base = 21000 + (hash(tag) % 9000)
+    for port in range(base, base + 200):
+        s = socket.socket()
+        try:
+            s.bind(("127.0.0.1", port))
+            return port
+        except OSError:
+            continue
+        finally:
+            s.close()
+    raise RuntimeError("no free port")
 
 
 def _make_case(tmp_path, ny, nx, opt_run=3, mmf_file=""):
@@ -83,7 +92,7 @@ def _make_case(tmp_path, ny, nx, opt_run=3, mmf_file=""):
 
 
 def _run_workers(tmp_path, nml, steps, nprocs=2):
-    port = _free_port()
+    port = _free_port(str(nml.parent))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
