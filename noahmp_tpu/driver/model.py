@@ -176,9 +176,17 @@ class LandModel:
             from ..params import default_table_dir
             table_dir = default_table_dir()
         dom = ncio.read_domain(rs.const_file)
+        # namelist run subwindow (XSTART/XEND/YSTART/YEND, 1-based
+        # inclusive; the reference crops its reads to this window)
+        win_y0 = max(rs.ystart - 1, 0)
+        win_x0 = max(rs.xstart - 1, 0)
+        win_y1 = rs.yend if rs.yend > 0 else dom.ny
+        win_x1 = rs.xend if rs.xend > 0 else dom.nx
+        if (win_y0, win_x0, win_y1, win_x1) != (0, 0, dom.ny, dom.nx):
+            dom = ncio.crop_domain(dom, win_y0, win_y1, win_x0, win_x1)
         # multi-host: each process owns a contiguous row block of the
-        # domain (grid.multihost; SURVEY §5.8) — everything below
-        # operates on the local block, and I/O is per-host
+        # (windowed) domain (grid.multihost; SURVEY §5.8) — everything
+        # below operates on the local block, and I/O is per-host
         nproc, rank = jax.process_count(), jax.process_index()
         ny_global, row0 = dom.ny, 0
         dom_full = dom
@@ -387,6 +395,12 @@ class LandModel:
                 masks=masks, accum=accum, date=date, mmf=mmf,
                 smceq=smceq, stepwtd=stepwtd, land_idx=land_idx,
                 real_pos=real_pos)
+        if rs.from_restart:
+            # resume the step counter from the restart timestamp (the
+            # reference sets ITIMESTEP on resume, driver :177-179) so
+            # output/restart/STEPWTD cadences continue seamlessly
+            from .dates import geth_idts
+            m.itime = geth_idts(date, rs.start_date) // int(cfg.dt)
         if static_halo is not None:
             m._static_halo = {k: jnp.asarray(v)
                               for k, v in static_halo.items()}
@@ -405,9 +419,16 @@ class LandModel:
         m.gvfmax = _gvf("GVFMAX", dom.gvfmax)
         m.shdmax_grid = _gvf("SHDMAX", dom.shdmax)
         if rs.indir:
+            # forcing hyperslab: the namelist window offset plus this
+            # process's row block; full-file reads when neither applies
+            frow0 = win_y0 + row0
+            has_window = (win_y0, win_x0) != (0, 0) or rs.yend > 0 \
+                or rs.xend > 0
             m.forcing_reader = ncio.ForcingReader(
                 rs.indir, rs.input_timestep,
-                row_range=((row0, row0 + dom.ny) if nproc > 1 else None))
+                row_range=((frow0, frow0 + dom.ny)
+                           if (nproc > 1 or has_window) else None),
+                col_range=((win_x0, win_x1) if has_window else None))
         shard = (rank, row0, ny_global) if nproc > 1 else None
         m._shard = shard
         m.history = ncio.HistoryWriter(rs.outdir, cfg, dom.ny, dom.nx,

@@ -51,6 +51,12 @@ class RunSettings:
     output_timestep: int = 3600
     restart_timestep: int = 86400
     zlvl: float = 30.0
+    # run subwindow, 1-based inclusive like the reference's
+    # XSTART/XEND/YSTART/YEND (0 = full extent)
+    xstart: int = 1
+    ystart: int = 1
+    xend: int = 0
+    yend: int = 0
 
     @property
     def ntime(self) -> int:
@@ -109,6 +115,8 @@ def read_namelist(path):
         output_timestep=int(g.get("output_timestep", 3600)),
         restart_timestep=int(g.get("restart_timestep", 86400)),
         zlvl=zlvl,
+        xstart=int(g.get("xstart", 1)), ystart=int(g.get("ystart", 1)),
+        xend=int(g.get("xend", 0)), yend=int(g.get("yend", 0)),
     )
 
     # validation (:234-253)

@@ -247,19 +247,29 @@ def read_domain(path) -> Domain:
                       shdmax=rd("SHDMAX"))
 
 
-def slice_domain(dom: Domain, r0: int, r1: int) -> Domain:
-    """Row-block view [r0, r1) of a domain for multi-host runs (the
-    domain file is read once at init, so a full read + slice is fine;
-    the per-step forcing path does true hyperslab reads)."""
+def crop_domain(dom: Domain, y0: int, y1: int, x0: int = 0,
+                x1: int = None) -> Domain:
+    """Window view [y0:y1, x0:x1] of a domain — used for the namelist
+    subwindow (XSTART/XEND/YSTART/YEND, the reference's run window)
+    and the multi-host row partition.  The domain file is read once at
+    init, so a full read + slice is fine; the per-step forcing path
+    does true hyperslab reads."""
+    x1 = dom.nx if x1 is None else x1
+
     def cut(a):
-        return a[r0:r1] if isinstance(a, np.ndarray) and a.ndim == 2 \
-            else a
+        return a[y0:y1, x0:x1] if isinstance(a, np.ndarray) \
+            and a.ndim == 2 else a
     return dataclasses.replace(
-        dom, ny=r1 - r0,
+        dom, ny=y1 - y0, nx=x1 - x0,
         **{f.name: cut(getattr(dom, f.name))
            for f in dataclasses.fields(dom)
-           if f.name != "ny" and isinstance(getattr(dom, f.name),
-                                            np.ndarray)})
+           if f.name not in ("ny", "nx")
+           and isinstance(getattr(dom, f.name), np.ndarray)})
+
+
+def slice_domain(dom: Domain, r0: int, r1: int) -> Domain:
+    """Row-block view [r0, r1) (multi-host partition)."""
+    return crop_domain(dom, r0, r1)
 
 
 FORCING_VARS = ("T2D", "Q2D", "U2D", "V2D", "PSFC", "LWDOWN", "SWDOWN",
@@ -463,15 +473,23 @@ def read_mmf_runoff(path):
     return out
 
 
-def read_forcing_file(path, row_range=None, with_optional=False):
+def read_forcing_file(path, row_range=None, with_optional=False,
+                      col_range=None):
     """Read one forcing file -> dict of (ny, nx) arrays.
 
     With ``row_range=(r0, r1)`` only those south_north rows are read —
     a true per-host hyperslab (nc_get_vara / mmap pages), the TPU
     replacement for the reference's io-rank read+scatter funnel
-    (module_mpp_land.F90:645-721)."""
+    (module_mpp_land.F90:645-721).  ``col_range`` crops west_east after
+    the row read (rows are contiguous on disk, so reading full rows IS
+    the IO-optimal pattern for a column window)."""
     names = FORCING_VARS + (OPTIONAL_FORCING_VARS if with_optional else ())
     out = {}
+    if col_range is not None:
+        inner = read_forcing_file(path, row_range=row_range,
+                                  with_optional=with_optional)
+        return {k: np.ascontiguousarray(v[:, col_range[0]:col_range[1]])
+                for k, v in inner.items()}
     if row_range is None:
         with open_nc(path) as nc:
             for name in names:
@@ -516,11 +534,13 @@ class ForcingReader:
     """
 
     def __init__(self, indir, input_timestep,
-                 filename_tpl="{date}.LDASIN_DOMAIN1", row_range=None):
+                 filename_tpl="{date}.LDASIN_DOMAIN1", row_range=None,
+                 col_range=None):
         self.indir = Path(indir)
         self.input_timestep = int(input_timestep)
         self.tpl = filename_tpl
         self.row_range = row_range   # per-host hyperslab rows (r0, r1)
+        self.col_range = col_range   # namelist subwindow cols (x0, x1)
         self.last = None       # (epoch_seconds, dict of flat arrays)
         self.next = None
         self._prefetch = None  # lazily sized ForcingPrefetcher
@@ -533,11 +553,12 @@ class ForcingReader:
         return self.indir / self.tpl.format(date=compact[:10])
 
     def _read_file(self, path):
-        if self.row_range is not None:
-            # per-host hyperslab read; the fastnc prefetcher decodes
-            # whole variables, so multi-host reads go direct
+        if self.row_range is not None or self.col_range is not None:
+            # per-host/windowed hyperslab read; the fastnc prefetcher
+            # decodes whole variables, so these go direct
             return read_forcing_file(path, row_range=self.row_range,
-                                     with_optional=True)
+                                     with_optional=True,
+                                     col_range=self.col_range)
         from .fastnc import ForcingPrefetcher, var_shape, available
         if self._prefetch is None:
             if available():

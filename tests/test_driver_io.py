@@ -159,7 +159,7 @@ def test_run_and_restart_roundtrip(setup_run):
     rs2.from_restart = True
     rs2.restart_file = rsts[0].name
     m2 = LandModel.from_namelist(cfg, rs2)
-    m2.itime = 6
+    assert m2.itime == 6   # derived from the restart timestamp
     m2.run(nsteps=2)
 
     land = ~(np.asarray(m.masks.land) == False)  # noqa: E712
@@ -519,3 +519,27 @@ def test_netcdf4_format_and_field_parity(setup_run, tmp_path):
     assert np.allclose(extras["GVFMIN"], 0.55)
     assert extras["smceq"].shape == (ny * nx, cfg.nsoil)
     assert "acsnom" in af
+
+
+def test_namelist_subwindow(setup_run):
+    """XSTART/XEND/YSTART/YEND (1-based inclusive) crop the run to a
+    window of the domain, with forcing read as the matching hyperslab;
+    the windowed run must reproduce the full run on those cells."""
+    from noahmp_tpu.driver.model import LandModel
+    tmp_path, nml, ny, nx = setup_run
+    cfg, rs = read_namelist(str(nml))
+
+    m_full = LandModel.from_namelist(cfg, rs)
+    m_full.run(nsteps=3)
+    tg_full = m_full._expand_tree(m_full.state).tg.reshape(ny, nx)
+
+    rs2 = read_namelist(str(nml))[1]
+    rs2.ystart, rs2.yend = 2, 5    # rows 1..4 (0-based)
+    rs2.xstart, rs2.xend = 3, 7    # cols 2..6
+    rs2.outdir = str(tmp_path / "out_win")
+    m_win = LandModel.from_namelist(cfg, rs2)
+    assert m_win.domain.ny == 4 and m_win.domain.nx == 5
+    m_win.run(nsteps=3)
+    tg_win = m_win._expand_tree(m_win.state).tg.reshape(4, 5)
+
+    np.testing.assert_array_equal(tg_win, tg_full[1:5, 2:7])

@@ -143,7 +143,9 @@ def test_biome_bucketing_matches_auto():
     lanes are meaningless in both designs."""
     from noahmp_tpu.grid.driver import grid_step, biome_order, GridMasks
 
-    n = 96
+    # same n/forcing as test_compacted_glacier_path_matches_auto so the
+    # full-width baseline compile is shared through the persistent cache
+    n = 192
     cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
     f = synthetic_forcing(n, hour=12.0)
     vegtyp = np.asarray(params.vegtyp)
