@@ -78,6 +78,8 @@ class LandModel:
                                      # land columns (see ColumnLayout)
     check_every: int = 1             # conservation-guard cadence (steps)
     check_mode: str = "abort"        # "abort" | "warn" | "off"
+    chunk_steps: int = 0             # on-device steps per dispatch
+                                     # (0 = auto, 1 = legacy per-step)
     # driver-level green-veg-fraction fields, full-grid numpy
     # (module_hrldas_noahmp_vars.F90:146-149; restart :645-649).  fpar
     # tracks the last VEGFRA forcing; gvfmin/gvfmax track the annual
@@ -88,6 +90,8 @@ class LandModel:
     shdmax_grid: np.ndarray = None
     _warned_shdfac: bool = False
     _step_fn: object = None
+    _core: object = None             # unjitted single-step fn (scan body)
+    _chunk_fns: dict = None          # (K, has_lai) -> jitted chunk scan
     _errmax_fn: object = None
     _wtd_fn: object = None
     _land_full: object = None        # full-grid land mask (MMF)
@@ -454,6 +458,7 @@ class LandModel:
             fn = lambda p, s, f, mk, a, mmf, it: grid_step(
                 cfg, p, s, f, mk, a, glacier_idx=gidx,
                 bare_idx=bidx) + (mmf,)
+            self._core = fn
             return jax.jit(fn)
 
         shape = (self.domain.ny, self.domain.nx)
@@ -517,6 +522,7 @@ class LandModel:
             fn = lambda p, s, f, mk, a, mmf, it: grid_step(
                 cfg, p, s, f, mk, a, glacier_idx=gidx,
                 bare_idx=bidx) + (mmf,)
+            self._core = fn
             return jax.jit(fn)
 
         def fused(params, state, forcing, masks, accum, mmf, itime):
@@ -527,23 +533,95 @@ class LandModel:
                                   lambda op: op, (s, mmf))
             return s, d, a, mmf
 
+        self._core = fused
         return jax.jit(fused)
+
+    def _get_chunk_fn(self, K, has_lai):
+        """Jitted K-step on-device chain: ``lax.scan`` over the per-step
+        core with host-free carries (VERDICT r2 item 3; the reference's
+        whole-run timing loop, module_hrldas_noahmp_driver.F90:309-595,
+        dispatches once per step — here one dispatch integrates K steps).
+
+        Inside the scanned body:
+        - FICEOLD is recomputed from the carried snow state (what
+          ``_ficeold`` does host-side per step), so the pre-built
+          forcing stack never goes stale;
+        - the conservation residuals are max-accumulated device-side
+          into a (3,) carry and read back once per chunk;
+        - (opt_run=5, single host) the MMF groundwater update fires
+          under the same ``lax.cond`` on the carried step counter.
+        The last step's diagnostics ride the carry (one buffer, not K)
+        for the history writer at the chunk boundary."""
+        if self._chunk_fns is None:
+            self._chunk_fns = {}
+        key = (K, has_lai)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+        core = self._core
+
+        def one(params, masks, s, a, mmf, f, it, lai):
+            tot = s.snice + s.snliq
+            fice = jnp.where(tot > 0.0,
+                             s.snice / jnp.maximum(tot, 1e-12), 0.0)
+            f = dataclasses.replace(f, ficeold=fice)
+            if has_lai:
+                s = dataclasses.replace(s, lai=lai)
+            s, d, a, mmf = core(params, s, f, masks, a, mmf, it)
+            g = lambda e: jnp.max(jnp.abs(jnp.where(masks.land, e, 0.0)))
+            err = jnp.stack([g(d.errsw), g(d.erreng), g(d.errwat)])
+            return s, d, a, mmf, err
+
+        def chunk(params, masks, state, accum, mmf, fstack, itimes,
+                  lais):
+            x0 = jtu.tree_map(lambda x: x[0], (fstack, itimes, lais))
+            s, d, a, mmf, err = one(params, masks, state, accum, mmf,
+                                    *x0)
+
+            def body(carry, xs):
+                s, d, a, mmf, err = carry
+                s, d, a, mmf, e = one(params, masks, s, a, mmf, *xs)
+                return (s, d, a, mmf, jnp.maximum(err, e)), None
+
+            if K > 1:
+                xs = jtu.tree_map(lambda x: x[1:], (fstack, itimes, lais))
+                (s, d, a, mmf, err), _ = jax.lax.scan(
+                    body, (s, d, a, mmf, err), xs)
+            return s, d, a, mmf, err
+
+        fn = jax.jit(chunk)
+        self._chunk_fns[key] = fn
+        return fn
 
 
     # ------------------------------------------------------------------
     def build_forcing(self) -> Forcing:
-        """Per-step forcing: file read + interp + solar geometry
-        (land_driver_exe :321-366)."""
+        """Per-step forcing for the legacy per-step path; applies any
+        LAI forcing directly to the model state."""
+        f, lai = self._forcing_at(self.date, self.itime)
+        if lai is not None:
+            self.state = dataclasses.replace(
+                self.state, lai=jnp.asarray(lai, jnp.float32))
+        return f
+
+    def _forcing_at(self, date, itime):
+        """Forcing for one (date, itime): file read + interp + solar
+        geometry (land_driver_exe :321-366).  Returns (Forcing, lai)
+        with lai=None when the forcing files carry no LAI — the chunked
+        scan feeds lai through the scan xs; the per-step path writes it
+        into the state.  FICEOLD here is valid only for the FIRST step
+        built from the current state; the scanned body recomputes it
+        from the carry."""
         dom = self.domain
         n = dom.ny * dom.nx
-        cosz, julian = calc_declin(self.date, dom.xlat, dom.xlong)
-        yl = yearlen(parse_date(self.date).year)
+        cosz, julian = calc_declin(date, dom.xlat, dom.xlong)
+        yl = yearlen(parse_date(date).year)
         f32 = jnp.float32
+        lai_out = None
 
         cp = self._cp   # full-grid -> compacted land-column gather
         if self.forcing_reader is not None:
-            epoch = self.itime * int(self.cfg.dt)
-            raw = self.forcing_reader.read(self.date, epoch)
+            epoch = itime * int(self.cfg.dt)
+            raw = self.forcing_reader.read(date, epoch)
             t2d = cp(raw["T2D"].reshape(n))
             q2d = cp(raw["Q2D"].reshape(n))
             psfc = cp(raw["PSFC"].reshape(n))
@@ -579,9 +657,8 @@ class LandModel:
             else:
                 shdmax = np.maximum(np.float32(0.9), shdfac)
             if "LAI" in raw:
-                self.state = dataclasses.replace(
-                    self.state, lai=jnp.asarray(cp(raw["LAI"].reshape(n)),
-                                                jnp.float32))
+                lai_out = np.asarray(cp(raw["LAI"].reshape(n)),
+                                     np.float32)
         else:
             raise ValueError("no forcing source configured (INDIR empty)")
 
@@ -608,7 +685,7 @@ class LandModel:
             o2air=jnp.asarray(C.O2_FRAC * psfc, f32),
             foln=jnp.full((nc,), C.FOLN_DEFAULT, f32),
             ficeold=self._ficeold(),
-            smceq=jnp.asarray(cp(self.smceq), f32))
+            smceq=jnp.asarray(cp(self.smceq), f32)), lai_out
 
     def _ficeold(self):
         """Snow-layer ice fraction from the previous step
@@ -685,6 +762,9 @@ class LandModel:
                 return g(d.errsw), g(d.erreng), g(d.errwat)
             self._errmax_fn = jax.jit(errmax)
         esw, een, ewa = self._errmax_fn(diag, self.masks.land)
+        self._raise_conservation(esw, een, ewa, self.date)
+
+    def _raise_conservation(self, esw, een, ewa, where):
         esw, een, ewa = float(esw), float(een), float(ewa)
         msgs = []
         if esw > SW_TOL:
@@ -695,28 +775,151 @@ class LandModel:
         if ewa > WAT_TOL:
             msgs.append(f"water budget |err|={ewa:.4g} mm > {WAT_TOL}")
         if msgs:
-            msg = (f"conservation violated at {self.date} "
+            msg = (f"conservation violated at {where} "
                    f"(itime={self.itime}): " + "; ".join(msgs))
             if self.check_mode == "abort":
                 raise ConservationError(msg)
             print(f"WARNING: {msg}", flush=True)
 
-    def run(self, nsteps=None, verbose=False, profile_dir=None):
+    # -- chunked time loop ----------------------------------------------
+    DEFAULT_CHUNK = 24   # device steps per dispatch when nothing caps it
+
+    def _next_chunk_len(self, maxk):
+        """Largest K ≤ maxk such that steps itime..itime+K-1 need no
+        host interaction mid-chunk: output/restart cadences and (multi-
+        host MMF) the STEPWTD halo exchange must land exactly on the
+        chunk boundary."""
+        dt = int(self.cfg.dt)
+        it = self.itime
+        k = maxk
+        for cad in (self.rs.output_timestep, self.rs.restart_timestep):
+            if cad and cad > 0:
+                for j in range(1, k):
+                    if ((it + j) * dt) % cad == 0:
+                        k = j
+                        break
+        if self.cfg.opt_run == 5 and self._shard is not None:
+            # the WTD halo is exchanged host-side after the step where
+            # (itime+1) % stepwtd == 0 — that step must end the chunk
+            k = min(k, self.stepwtd - (it % self.stepwtd))
+        return max(k, 1)
+
+    def _run_chunk(self, K, verbose=False):
+        """Integrate K steps in one on-device scan (K already aligned
+        by _next_chunk_len)."""
+        t0 = time.perf_counter()
+        dt = int(self.cfg.dt)
+        fs, lais = [], []
+        date = self.date
+        for j in range(K):
+            f, lai = self._forcing_at(date, self.itime + j)
+            fs.append(f)
+            lais.append(lai)
+            date = geth_newdate(date, dt)
+        has_lai = any(l is not None for l in lais)
+        if has_lai:
+            # the reader carries LAI forward once seen; only leading
+            # entries of the very first chunk can be None
+            cur = np.asarray(self.state.lai, np.float32)
+            lai_stack = jnp.asarray(
+                np.stack([cur if l is None else l for l in lais]))
+        else:
+            lai_stack = jnp.zeros((K, 1), jnp.float32)
+        fstack = jtu.tree_map(lambda *x: jnp.stack(x), *fs)
+        itimes = jnp.arange(self.itime, self.itime + K, dtype=jnp.int32)
+
+        if self.itime == 0:
+            self.state = first_step_guess(self.state, fs[0])
+
+        t1 = time.perf_counter()
+        cf = self._get_chunk_fn(K, has_lai)
+        self.state, diag, self.accum, self.mmf, err = cf(
+            self.params, self.masks, self.state, self.accum, self.mmf,
+            fstack, itimes, lai_stack)
+
+        first_date = self.date
+        self.itime += K
+        self.date = date
+
+        # multi-host MMF: the chunk ends exactly on the STEPWTD
+        # boundary; exchange the 1-row WTD halo and update now
+        if (self.cfg.opt_run == 5 and self._shard is not None
+                and self.itime % self.stepwtd == 0):
+            from ..grid import multihost as mh
+            edges = np.asarray(self._edge_fn(self.state))
+            above, below = mh.exchange_edge_rows(
+                f"mmf/{self.itime - 1}", edges[0], edges[1])
+            self.state, self.mmf = self._wtd_fn(
+                self.state, self.mmf,
+                jnp.asarray(np.stack([above, below])))
+
+        # conservation guard: the (3,) max-residual carry covers every
+        # step of the chunk; one readback per chunk (this is also the
+        # timing fence)
+        err = np.asarray(err)
+        if self.check_mode != "off":
+            self._raise_conservation(err[0], err[1], err[2],
+                                     f"{first_date}..{self.date}")
+        t2 = time.perf_counter()
+
+        epoch = self.itime * dt
+        if self.rs.output_timestep > 0 \
+                and epoch % self.rs.output_timestep == 0:
+            self._submit_io(self.history.write, self.date,
+                            self._expand_tree(self.state),
+                            self._expand_tree(diag),
+                            self._expand_tree(self.accum),
+                            self._expand_tree(fs[-1]),
+                            self.mmf)
+        if self.rs.restart_timestep > 0 \
+                and epoch % self.rs.restart_timestep == 0:
+            self.write_restart(_async=True)
+        if verbose:
+            print(f"***DATE={self.date}  Timing: {t2 - t0:.3f}s "
+                  f"SFLX: {t2 - t1:.3f}s ({K} steps/dispatch)",
+                  flush=True)
+        return diag
+
+    def run(self, nsteps=None, verbose=False, profile_dir=None,
+            chunk=None):
         """Integrate nsteps.  With profile_dir, wrap the loop in a
         jax.profiler trace (the TPU-native equivalent of the
         reference's system_clock SFLX timers,
-        module_hrldas_noahmp_driver.F90:46-53, :580-585)."""
+        module_hrldas_noahmp_driver.F90:46-53, :580-585).
+
+        chunk: max on-device steps per dispatch (None = the model's
+        chunk_steps field; 0 = auto; 1 = legacy per-step dispatch).
+        The chunked path accumulates the conservation residuals
+        device-side and checks them once per chunk, so an abort
+        reports a chunk-sized date range rather than the exact step."""
         nsteps = nsteps if nsteps is not None else self.rs.ntime
-        last = None
+        chunk = self.chunk_steps if chunk is None else chunk
+        if chunk == 0:
+            chunk = self.DEFAULT_CHUNK
         if profile_dir:
             with jax.profiler.trace(str(profile_dir)):
-                for _ in range(nsteps):
-                    last = self.step(verbose=verbose)
+                last = self._run_loop(nsteps, chunk, verbose)
             self.flush_io()
             return last
-        for _ in range(nsteps):
-            last = self.step(verbose=verbose)
+        last = self._run_loop(nsteps, chunk, verbose)
         self.flush_io()
+        return last
+
+    def _run_loop(self, nsteps, chunk, verbose):
+        last = None
+        done = 0
+        while done < nsteps:
+            if chunk <= 1:
+                last = self.step(verbose=verbose)
+                done += 1
+                continue
+            K = self._next_chunk_len(min(chunk, nsteps - done))
+            if K <= 1:
+                last = self.step(verbose=verbose)
+                done += 1
+            else:
+                last = self._run_chunk(K, verbose=verbose)
+                done += K
         return last
 
     def probe(self, file=None):
