@@ -34,13 +34,16 @@ class CarbonOut(NamedTuple):
 
 
 def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
-           igs, troot, lat, lfmass, rtmass, stmass, wood, stblcp,
+           igs, troot, lat, lai, lfmass, rtmass, stmass, wood, stblcp,
            fastcp) -> CarbonOut:
     """CARBON + CO2FLUX.
 
-    ``stc_soil`` is the (nsoil,) soil temperature vector.  Non-vegetated
-    categories (water/barren/snow/urban) are zeroed by the ``is_veg``
-    mask, matching CARBON's early return (:8792-8810).
+    ``stc_soil`` is the (nsoil,) soil temperature vector.  ``lai`` is
+    the state LAI as filtered by PHENOLOGY (XLAI is INOUT at :8742;
+    CO2FLUX's respiration and allocation consume the incoming value,
+    :8996-9023).  Non-vegetated categories (water/barren/snow/urban)
+    are zeroed by the ``nonveg`` mask, matching CARBON's early return
+    (:8792-8810).
     """
     dt = cfg.dt
     nsoil = cfg.nsoil
@@ -72,8 +75,10 @@ def carbon(cfg, p, stc_soil, smc, tv, tg, psn, foln, btran, apar, fveg,
     lfmsmn = laimin / jnp.maximum(lapm, 1e-8)
     stmsmn = xsamin / sapm
 
-    # XLAI enters CO2FLUX from the previous LFMASS (:8742 inout XLAI)
-    xlai = jnp.maximum(lfmass * lapm, laimin)
+    # XLAI enters CO2FLUX as the state LAI (inout :8742), i.e. the
+    # previous step's MAX(LFMASS*LAPM, LAIMIN) after PHENOLOGY's
+    # threshold zeroing (:1073-1079)
+    xlai = lai
     # respiration (:8988-9000)
     rf = sel(igs == 0.0, 0.5, 1.0)
     fnf = jnp.minimum(foln / jnp.maximum(1.0e-6, p.folnmx), 1.0)

@@ -236,10 +236,14 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
                        tah, tv, tg, cm, ch, psfc,
                        pblh if pblh is not None else jnp.zeros_like(tg))
 
+    # QSFC is one inout variable threaded through BOTH calls (:1721,
+    # :1739): BARE_FLUX receives VEGE_FLUX's updated value on veg
+    # columns (it seeds SFCDIF3/4's first iteration)
+    qsfc_in = sel(use_veg, vf.qsfc, qsfc)
     bf = bare_flux(cfg, p, isnow, rad.sag, lwdn, ur, uu, vv, sfctmp,
                    thair, qair, eair, rhoair, snowh, dzsnso, zlvl,
                    zpdg, z0mg, emg, stc, tp.df, rsurf, latheag, gammag,
-                   rhsur, tg, cm, ch, qsfc, psfc, sfcprs,
+                   rhsur, tg, cm, ch, qsfc_in, psfc, sfcprs,
                    pblh if pblh is not None else jnp.zeros_like(tg))
 
     # blend (:1747-1785)
@@ -263,9 +267,10 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
     ts = sel(use_veg, fveg * vf.tv + (1.0 - fveg) * bf.tgb, tg_new)
     cm_new = blend(vf.cmv, bf.cmb)
     ch_new = blend(vf.chv, bf.chb)
+    # the QSFC in the Q1 blend (:1761) is the post-BARE_FLUX value
     q1 = sel(use_veg,
                    fveg * (vf.eah * 0.622 / (sfcprs - 0.378 * vf.eah))
-                   + (1.0 - fveg) * vf.qsfc,
+                   + (1.0 - fveg) * bf.qsfc,
                    bf.qsfc)
     q2e = blend(vf.q2v, bf.q2b)
     rssun = sel(use_veg, vf.rssun, 0.0)
@@ -275,7 +280,7 @@ def energy(cfg, p, ice, ist, isnow, rhoair, sfcprs, qair, sfctmp, thair,
     tv_new = sel(use_veg, vf.tv, tv)
     eah_new = sel(use_veg, vf.eah, eah)
     tah_new = sel(use_veg, vf.tah, tah)
-    qsfc_new = sel(use_veg, vf.qsfc, bf.qsfc)
+    qsfc_new = bf.qsfc   # QSFC leaves ENERGY as BARE_FLUX's value
 
     fire = lwdn + fira
     fire_ok = fire > 0.0

@@ -130,10 +130,13 @@ def vege_flux(cfg, p, isnow, sav, sag, lwdn, ur, uu, vv, sfctmp, thair,
             sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, wstar2_n, sf.fh,
                                 sf.fm2, sf.fh2, fv_n)
         elif cfg.opt_sfc == 3:
-            # sf.fv carries USTAR; akms/akhs = CM*UR / CH*UR priors
+            # sf.fv carries USTAR.  NOTE: like SFCDIF2, the reference
+            # feeds the UR-divided CM/CH straight back into SFCDIF3's
+            # AKMS/AKHS inout args each iteration (CH=CH/UR after the
+            # call, :3348-3350) — faithful to the text
             akms, akhs, chs2, cqs2, rlmo_n, fv_n = sfcdif3(
                 tah_c, qsfc_c, psfc, pblh, z0m, z0mg, p.is_urban, uc,
-                thair, qair, zlvl, sf.fv, cm_c * ur, ch_c * ur)
+                thair, qair, zlvl, sf.fv, cm_c, ch_c)
             cm_n = akms / ur
             ch_n = akhs / ur
             ch2v = chs2 / ur
@@ -410,27 +413,35 @@ def bare_flux(cfg, p, isnow, sag, lwdn, ur, uu, vv, sfctmp, thair, qair,
             sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, wstar2_n, sf.fh,
                                 sf.fm2, sf.fh2, fv_n)
         elif cfg.opt_sfc == 3:
+            # VEGTYP is forced to ISBARREN before the bare call
+            # (:3802), so the urban CZIL shortcut never applies here;
+            # CM/CH priors are the UR-divided values (:3812-3814)
             akms, akhs, chs2, cqs2, rlmo_n, fv_n = sfcdif3(
-                tgb_c, qsfc_c, psfc, pblh, z0m, z0m, p.is_urban, ur,
-                thair, qair, zlvl, sf.fv, cm_c * ur, ch_c * ur)
+                tgb_c, qsfc_c, psfc, pblh, z0m, z0m, False, ur,
+                thair, qair, zlvl, sf.fv, cm_c, ch_c)
             cm_n = akms / ur
             ch_n = akhs / ur
+            ch2b = chs2 / ur
             snow_cap = snowh > 0.0
             cm_n = sel(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
             ch_n = sel(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
+            ch2b = sel(snow_cap, jnp.minimum(0.01, ch2b), ch2b)
             sf_n = Sfcdif1State(rlmo_n, sf.mozsgn, sf.fm,
-                                chs2 / ur, sf.fm2, sf.fh2, fv_n)
+                                ch2b, sf.fm2, sf.fh2, fv_n)
         elif cfg.opt_sfc == 4:
             cm4, chs, chs2, cqs2, rmol_n, fv_n, _u10, _v10 = sfcdif4(
                 uu, vv, sfctmp, sfcprs, psfc, pblh, 1000.0, z0m, tgb_c,
                 qair, zlvl, qsfc_c, h, qfx, sf.moz, sf.fv)
             cm_n = cm4 / ur
             ch_n = chs / ur
+            ch2b = chs2 / ur
             snow_cap = snowh > 0.0
             cm_n = sel(snow_cap, jnp.minimum(0.01, cm_n), cm_n)
             ch_n = sel(snow_cap, jnp.minimum(0.01, ch_n), ch_n)
+            # the snow cap also clamps the 2-m coefficient (:3835-3840)
+            ch2b = sel(snow_cap, jnp.minimum(0.01, ch2b), ch2b)
             sf_n = Sfcdif1State(rmol_n, sf.mozsgn, sf.fm,
-                                chs2 / ur, sf.fm2, sf.fh2, fv_n)
+                                ch2b, sf.fm2, sf.fh2, fv_n)
         else:
             raise NotImplementedError(f"opt_sfc={cfg.opt_sfc}")
 

@@ -176,15 +176,18 @@ def noahmp_sflx(cfg, p, s: ColumnState, f: Forcing, ist=1, ice=0,
     gpp = jnp.zeros_like(s.tg)
     npp = jnp.zeros_like(s.tg)
     if cfg.run_carbon:
+        # TROOT is computed at the top of SFLX from the INCOMING soil
+        # temperature (:798-801), before ENERGY updates STC
         troot = jnp.sum(
             sel(jnp.arange(nsoil) < p.nroot,
-                      w.stc[nsnow:] * dzsnso[nsnow:], 0.0)
+                      s.stc[nsnow:] * dzsnso[nsnow:], 0.0)
         ) / jnp.maximum(
             jnp.sum(sel(jnp.arange(nsoil) < p.nroot,
                               dzsnso[nsnow:], 0.0)), 1e-6)
         cb = carbon(cfg, p, w.stc[nsnow:], w.smc, w.tv, en.tg, en.psn,
                     f.foln, en.btran, en.apar, fveg, ph.igs, troot,
-                    f.lat, lfmass, rtmass, stmass, wood, stblcp, fastcp)
+                    f.lat, ph.lai, lfmass, rtmass, stmass, wood, stblcp,
+                    fastcp)
         lfmass, rtmass, stmass = cb.lfmass, cb.rtmass, cb.stmass
         wood, stblcp, fastcp = cb.wood, cb.stblcp, cb.fastcp
         lai, sai = cb.lai, cb.sai

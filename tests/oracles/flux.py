@@ -1,13 +1,16 @@
 """Scalar oracles: VEGE_FLUX (module_sf_noahmplsm.F90:3018-3589) and
-BARE_FLUX (:3591-3958) for OPT_SFC=1/2, OPT_CRS=1/2, composed from the
-sfcdif/stomata scalar oracles.  Transliterated statement-by-statement,
-including the reference's quirks (e.g. the CM=CM/UR inout carry into
-SFCDIF2 at iterations >= 2).  Test fixture only."""
+BARE_FLUX (:3591-3958) for all four OPT_SFC schemes (1=M-O, 2=Chen97,
+3=MYJ via sfcdif3_oracle, 4=YSU via sfcdif4_oracle), OPT_CRS=1/2,
+composed from the sfcdif/sfcdif34/stomata scalar oracles.
+Transliterated statement-by-statement, including the reference's
+quirks (e.g. the CM=CM/UR inout carry into SFCDIF2/3 at iterations
+>= 2).  Test fixture only."""
 
 import math
 
 from . import SB, CPAIR, VKC, TFRZ
 from .sfcdif import sfcdif1, sfcdif2, ragrb
+from .sfcdif34 import sfcdif3_oracle, sfcdif4_oracle
 from .stomata import esat, stomata as o_stomata, canres as o_canres
 
 MPE = 1e-6
@@ -31,7 +34,7 @@ def vege_flux(par, opt_sfc, opt_crs, opt_stc, dt, sav, sag, lwdn, ur,
               z0m, fveg, z0mg, emv, emg, canliq, canice, df_top, dz_top,
               stc_top, rsurf, latheav, parsun, parsha, igs, foln,
               co2air, o2air, btran, sfcprs, rhsur, eah, tah, tv, tg, cm,
-              ch, psfc):
+              ch, psfc, pblh=500.0):
     """VEGE_FLUX.  `par` is a dict of veg params (czil, cwp, dleaf,
     + the stomata/canres parameter sets).  Returns a result dict."""
     niterc = 20
@@ -84,10 +87,31 @@ def vege_flux(par, opt_sfc, opt_crs, opt_stc, dt, sav, sag, lwdn, ur,
                 moz, wstar, fv)
             ch = ch / ur
             cm = cm / ur
+        elif opt_sfc == 3:
+            # (:3340-3350): AKMS/AKHS receive the UR-divided CM/CH of
+            # the previous iteration (the same inout quirk as SFCDIF2)
+            cm, ch, ch2v, cq2v, moz, fv = sfcdif3_oracle(
+                tah, qsfc, psfc, pblh, z0m, z0mg,
+                par.get("is_urban", False), 0, uc, thair, qair, zlvl,
+                fv, cm, ch)
+            ch = ch / ur
+            cm = cm / ur
+            ch2v = ch2v / ur
+        elif opt_sfc == 4:
+            cm, ch, ch2v, cq2v, moz, fv, _u10, _v10 = sfcdif4_oracle(
+                uu, vv, sfctmp, sfcprs, psfc, pblh, 1000.0, z0m, tah,
+                qair, zlvl, qsfc, h, qfx, moz, fv)
+            ch = ch / ur
+            cm = cm / ur
+            ch2v = ch2v / ur
 
         ramc = max(1.0, 1.0 / (cm * ur))
         rahc = max(1.0, 1.0 / (ch * ur))
         rawc = rahc
+        if opt_sfc in (3, 4):
+            rahc2 = max(1.0, 1.0 / (ch2v * ur))
+            cah2 = 1.0 / rahc2
+            cq2v = cah2
 
         rg = ragrb(it, vaie, rhoair, hg, tah, zpd, z0mg, z0hg, hcan, uc,
                    z0h, fv, par["cwp"], par["dleaf"], MPE, mozg, fhg)
@@ -163,6 +187,8 @@ def vege_flux(par, opt_sfc, opt_crs, opt_stc, dt, sav, sag, lwdn, ur,
         h = rhoair * CPAIR * (tah - sfctmp) / rahc
         hg = rhoair * CPAIR * (tg - tah) / rahg
         qsfc = (0.622 * eah) / (sfcprs - 0.378 * eah)
+        if opt_sfc == 4:
+            qfx = (qsfc - qair) * rhoair * caw   # (:3479-3481)
 
         if liter == 1:
             break
@@ -215,6 +241,15 @@ def vege_flux(par, opt_sfc, opt_crs, opt_stc, dt, sav, sag, lwdn, ur,
             t2mv = tah - (shg + shc / fveg) / (rhoair * CPAIR) / cah2
             q2v = qsfc - ((evc + tr) / fveg + evg) \
                 / (latheav * rhoair) / cq2v
+    else:
+        # MYJ/YSU-consistent 2m diagnostics (:3574-3582)
+        if cah2 < 1.0e-5:
+            t2mv = tah
+            q2v = eah * 0.622 / (sfcprs - 0.378 * eah)
+        else:
+            t2mv = tah - (shg + shc) / (rhoair * CPAIR * cah2)
+            q2v = (eah * 0.622 / (sfcprs - 0.378 * eah)
+                   - qfx / (rhoair * cq2v))
 
     ch_out = cah
     chleaf = cvh
@@ -231,8 +266,8 @@ def vege_flux(par, opt_sfc, opt_crs, opt_stc, dt, sav, sag, lwdn, ur,
 def bare_flux(par, opt_sfc, opt_stc, dt, sag, lwdn, ur, uu, vv, sfctmp,
               thair, qair, eair, rhoair, snowh, zlvl, zpd, z0m, emg,
               df_top, dz_top, stc_top, rsurf, lathea, gamma, rhsur,
-              tgb, cm, ch, qsfc, psfc, sfcprs):
-    """BARE_FLUX for OPT_SFC=1/2.  Returns a result dict."""
+              tgb, cm, ch, qsfc, psfc, sfcprs, pblh=500.0):
+    """BARE_FLUX for OPT_SFC=1..4.  Returns a result dict."""
     niterb = 5
     mozsgn = 0
     moz = 0.0
@@ -265,11 +300,41 @@ def bare_flux(par, opt_sfc, opt_stc, dt, sag, lwdn, ur, uu, vv, sfctmp,
             if snowh > 0.0:
                 cm = min(0.01, cm)
                 ch = min(0.01, ch)
+        elif opt_sfc == 3:
+            # VEGTYP is forced to ISBARREN before the call (:3802), so
+            # the urban CZIL shortcut never applies; z0base = Z0M
+            cm, ch, ch2b, cq2b, moz, fv = sfcdif3_oracle(
+                tgb, qsfc, psfc, pblh, z0m, z0m, False, 0, ur,
+                thair, qair, zlvl, fv, cm, ch)
+            ch = ch / ur
+            cm = cm / ur
+            ch2b = ch2b / ur
+            if snowh > 0.0:
+                cm = min(0.01, cm)
+                ch = min(0.01, ch)
+                ch2b = min(0.01, ch2b)
+                cq2b = min(0.01, cq2b)
+        elif opt_sfc == 4:
+            cm, ch, ch2b, cq2b, moz, fv, _u10, _v10 = sfcdif4_oracle(
+                uu, vv, sfctmp, sfcprs, psfc, pblh, 1000.0, z0m, tgb,
+                qair, zlvl, qsfc, h, qfx, moz, fv)
+            ch = ch / ur
+            cm = cm / ur
+            ch2b = ch2b / ur
+            if snowh > 0.0:
+                cm = min(0.01, cm)
+                ch = min(0.01, ch)
+                ch2b = min(0.01, ch2b)
+                cq2b = min(0.01, cq2b)
 
         ramb = max(1.0, 1.0 / (cm * ur))
         rahb = max(1.0, 1.0 / (ch * ur))
         rawb = rahb
         ehb = 1.0 / rahb
+        if opt_sfc in (3, 4):
+            rahb2 = max(1.0, 1.0 / (ch2b * ur))
+            ehb2 = 1.0 / rahb2
+            cq2b = ehb2
 
         estg, destg = _estsat(tgb)
         csh = rhoair * CPAIR / rahb
@@ -313,6 +378,14 @@ def bare_flux(par, opt_sfc, opt_stc, dt, sag, lwdn, ur, uu, vv, sfctmp,
         else:
             t2mb = tgb - shb / (rhoair * CPAIR) / ehb2
             q2b = qsfc - evb / (lathea * rhoair) * (1.0 / cq2b + rsurf)
+    else:
+        # MYJ/YSU-consistent 2m diagnostics (:3942-3951)
+        if ehb2 < 1.0e-5:
+            t2mb = tgb
+            q2b = qsfc
+        else:
+            t2mb = tgb - shb / (rhoair * CPAIR * ehb2)
+            q2b = qsfc - qfx / (rhoair * cq2b)
 
     ch_out = ehb
     return dict(tgb=tgb, cm=cm, ch=ch_out, irb=irb, shb=shb, evb=evb,

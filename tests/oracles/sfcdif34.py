@@ -193,3 +193,157 @@ def psi_sfclay_lookup(zol):
     psim = _PSIMTB[nzol] + rzol * (_PSIMTB[nzol + 1] - _PSIMTB[nzol])
     psih = _PSIHTB[nzol] + rzol * (_PSIHTB[nzol + 1] - _PSIHTB[nzol])
     return psim, psih
+
+
+# ---------------------------------------------------------------------------
+# SFCDIF4 (YSU-consistent, revised MM5 scheme) scalar oracle
+# ---------------------------------------------------------------------------
+
+XKA = 2.4e-5
+PRT = 1.0
+VCONVC = 1.0
+SVP1, SVP2, SVP3, SVPT0 = 0.6112, 17.67, 29.65, 273.15
+EP_2 = R_D / 461.6
+KARMAN = 0.40
+
+
+def sfcdif4_oracle(ux, vx, t1d, p1d, psfcpa, pblh, dx, znt, tsk, qx,
+                   zlvl, qsfc, hfx, qfx, rmol, ust, iz0tlnd=0):
+    """Scalar SFCDIF4 (module_sf_noahmplsm.F90:4882-5270) with the
+    SFCLAY PSIMTB/PSIHTB table lookups.  Returns
+    (cm, chs, chs2, cqs2, rmol, ust, u10, v10)."""
+    # MOL = 1./RMOL (:4989).  The Fortran produces +/-Inf at RMOL=0
+    # (first iteration); every consumer immediately clamps, so a large
+    # finite sentinel is equivalent (and what the f32 kernel uses).
+    mol = (np.sign(rmol + 1e-30) * 1.0e10 if abs(rmol) < 1.0e-10
+           else 1.0 / rmol)
+    zl = 0.01
+    psfc = psfcpa / 1000.0
+
+    tgdsa = tsk
+    thgb = tsk * (P1000MB / psfcpa) ** RCP
+
+    pl = p1d / 1000.0
+    thx = t1d * (P1000MB * 0.001 / pl) ** RCP
+    thvx = thx * (1.0 + EP_1 * qx)
+    tvir = t1d * (1.0 + EP_1 * qx)
+
+    if qsfc <= 0.0:     # (:5009-5014)
+        e1 = SVP1 * np.exp(SVP2 * (tgdsa - SVPT0) / (tgdsa - SVP3))
+        qsfc = EP_2 * e1 / (psfc - e1)
+
+    za = zlvl
+    rhox = psfc * 1000.0 / (R_D * tvir)
+    govrth = GRAV / thx
+
+    gz1oz0 = np.log(za / znt)
+    gz2oz0 = np.log(2.0 / znt)
+    gz10oz0 = np.log(10.0 / znt)
+    wspd = np.sqrt(ux * ux + vx * vx)
+
+    tskv = thgb * (1.0 + EP_1 * qsfc)
+    dthvdz = thvx - tskv
+
+    fluxc = max(hfx / rhox / CP + EP_1 * tskv * qfx / rhox, 0.0)
+    vconv = VCONVC * (GRAV / tgdsa * pblh * fluxc) ** 0.33
+    vsgd = 0.32 * (max(dx / 5000.0 - 1.0, 0.0)) ** 0.33
+    wspd = np.sqrt(wspd * wspd + vconv * vconv + vsgd * vsgd)
+    wspd = max(wspd, 0.1)
+    br = govrth * za * dthvdz / (wspd * wspd)
+    if mol < 0.0:
+        br = min(br, 0.0)
+    rmol = -govrth * dthvdz * za * KARMAN
+
+    if br >= 0.2:
+        regime = 1
+    elif 0.0 < br < 0.2:
+        regime = 2
+    elif br == 0.0:
+        regime = 3
+    else:
+        regime = 4
+
+    if regime == 1:
+        psim = max(-10.0 * gz1oz0, -10.0)
+        psih = psim
+        psim10 = max(10.0 / za * psim, -10.0)
+        psih10 = psim10
+        psim2 = max(2.0 / za * psim, -10.0)
+        psih2 = psim2
+        if ust < 0.01:
+            rmol = br * gz1oz0
+        else:
+            rmol = KARMAN * govrth * za * mol / (ust * ust)
+        rmol = min(rmol, 9.999)
+        rmol = rmol / za
+    elif regime == 2:
+        psim = max(-5.0 * br * gz1oz0 / (1.1 - 5.0 * br), -10.0)
+        psih = psim
+        psim10 = max(10.0 / za * psim, -10.0)
+        psih10 = psim10
+        psim2 = max(2.0 / za * psim, -10.0)
+        psih2 = psim2
+        zol = br * gz1oz0 / (1.00001 - 5.0 * br)
+        if zol > 0.5:
+            zol = ((1.89 * gz1oz0 + 44.2) * br * br
+                   + (1.18 * gz1oz0 - 1.37) * br)
+            zol = min(zol, 9.999)
+        rmol = zol / za
+    elif regime == 3:
+        psim = psih = 0.0
+        psim10 = psih10 = 0.0
+        psim2 = psih2 = 0.0
+        if ust < 0.01:
+            zol = br * gz1oz0
+        else:
+            zol = KARMAN * govrth * za * mol / (ust * ust)
+        rmol = zol / za
+    else:
+        if ust < 0.01:
+            zol = br * gz1oz0
+        else:
+            zol = KARMAN * govrth * za * mol / (ust * ust)
+        zol10 = 10.0 / za * zol
+        zol2 = 2.0 / za * zol
+        zol = min(max(zol, -9.9999), 0.0)
+        zol10 = min(max(zol10, -9.9999), 0.0)
+        zol2 = min(max(zol2, -9.9999), 0.0)
+        psim, psih = psi_sfclay_lookup(zol)
+        psim10, psih10 = psi_sfclay_lookup(zol10)
+        psim2, psih2 = psi_sfclay_lookup(zol2)
+        psih = min(psih, 0.9 * gz1oz0)
+        psim = min(psim, 0.9 * gz1oz0)
+        psih2 = min(psih2, 0.9 * gz2oz0)
+        psim10 = min(psim10, 0.9 * gz10oz0)
+        psih10 = min(psih10, 0.9 * gz10oz0)
+        rmol = zol / za
+
+    dtg = thx - thgb
+    psix = gz1oz0 - psim
+    psix10 = gz10oz0 - psim10
+    psit = max(gz1oz0 - psih, 2.0)
+    psiq = np.log(KARMAN * ust * za / XKA + za / zl) - psih
+    psit2 = gz2oz0 - psih2
+    psiq2 = np.log(KARMAN * ust * 2.0 / XKA + 2.0 / zl) - psih2
+
+    if iz0tlnd == 1:     # (:5218-5233)
+        zl_ = znt
+        visc = (1.32 + 0.009 * (t1d - 273.15)) * 1.0e-5
+        restar = ust * zl_ / visc
+        czil = 10.0 ** (-0.40 * (zl_ / 0.07))
+        psit = gz1oz0 - psih + czil * KARMAN * np.sqrt(restar)
+        psiq = gz1oz0 - psih + czil * KARMAN * np.sqrt(restar)
+        psit2 = gz2oz0 - psih2 + czil * KARMAN * np.sqrt(restar)
+        psiq2 = gz2oz0 - psih2 + czil * KARMAN * np.sqrt(restar)
+
+    ust = 0.5 * ust + 0.5 * KARMAN * wspd / psix
+    ust = max(ust, 0.1)
+    mol = KARMAN * dtg / psit / PRT   # noqa: F841 (kept for parity)
+
+    cm = KARMAN * KARMAN / (psix * psix)
+    chs = ust * KARMAN / psiq
+    cqs2 = ust * KARMAN / psiq2
+    chs2 = ust * KARMAN / psit2
+    u10 = ux * psix10 / psix
+    v10 = vx * psix10 / psix
+    return cm, chs, chs2, cqs2, rmol, ust, u10, v10

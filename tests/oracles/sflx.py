@@ -4,8 +4,9 @@ module_sf_noahmplsm.F90, composed from the per-subroutine oracles.
 
 State is a dict of python floats / Fortran-indexed dicts, advanced in
 double precision.  `par` is a flat dict of per-column parameters and
-`opts` a dict of the 12 physics options.  OPT_SFC is limited to 1/2
-(the schemes with scalar oracles).  Test fixture only."""
+`opts` a dict of the 12 physics options.  All four OPT_SFC schemes
+dispatch (1/2 analytic scalar oracles, 3/4 the table-psi MYJ/YSU
+oracles in oracles/sfcdif34.py).  Test fixture only."""
 
 import math
 
@@ -19,6 +20,7 @@ from .phase import phasechange as o_phasechange
 from .snow import snowwater as o_snowwater
 from .soilwater import soilwater as o_soilwater, groundwater as o_gw, \
     shallowwatertable as o_swt
+from .carbon import carbon as o_carbon
 
 MPE = 1e-6
 EG = [0.97, 0.98]
@@ -33,7 +35,8 @@ def energy(par, opts, nsnow, nsoil, dt, ice, ist, isc, isnow, rhoair,
            o2air, solad, solai, cosz, igs, eair, htop, tbot, zsnso,
            zsoil, elai, esai, fwet, foln, fveg, qsnow, dzsnso, canliq,
            canice, tv, tg, stc, snowh, eah, tah, sneqvo, sneqv, sh2o,
-           smc, snice, snliq, albold, cm, ch, tauss, qsfc, psfc):
+           smc, snice, snliq, albold, cm, ch, tauss, qsfc, psfc,
+           pblh=500.0):
     """ENERGY. Mutates nothing; returns a dict with updated state and
     fluxes.  Layered dicts use Fortran indexing."""
     st = {}
@@ -127,14 +130,17 @@ def energy(par, opts, nsnow, nsoil, dt, ice, ist, isc, isnow, rhoair,
             z0mg, emv, emg, canliq, canice, df_top, dz_top, stc_top,
             rsurf, latheav, rad["parsun"], rad["parsha"], igs, foln,
             co2air, o2air, btran, sfcprs, rhsur, eah, tah, tv, tg, cm,
-            ch, psfc)
+            ch, psfc, pblh=pblh)
         rssun, rssha = vf["rssun"], vf["rssha"]
 
+    # QSFC is one inout variable threaded through BOTH calls
+    # (:1721, :1739): BARE_FLUX receives VEGE_FLUX's updated value
+    qsfc_in = vf["qsfc"] if use_veg else qsfc
     bf = o_bare_flux(
         par, opts["opt_sfc"], opts["opt_stc"], dt, rad["sag"], lwdn,
         ur, uu, vv, sfctmp, thair, qair, eair, rhoair, snowh, zlvl,
         zpdg, z0mg, emg, df_top, dz_top, stc_top, rsurf, latheag,
-        gammag, rhsur, tg, cm, ch, qsfc, psfc, sfcprs)
+        gammag, rhsur, tg, cm, ch, qsfc_in, psfc, sfcprs, pblh=pblh)
 
     tgb = bf["tgb"]
     if use_veg:
@@ -154,10 +160,11 @@ def energy(par, opts, nsnow, nsoil, dt, ice, ist, isc, isnow, rhoair,
         ts = fveg * tv_n + (1.0 - fveg) * tgb
         cm_n = fveg * vf["cm"] + (1.0 - fveg) * bf["cm"]
         ch_n = fveg * vf["ch"] + (1.0 - fveg) * bf["ch"]
+        # QSFC at the Q1 blend (:1761) is the post-BARE_FLUX value
         q1 = fveg * (eah_n * 0.622 / (sfcprs - 0.378 * eah_n)) \
-            + (1.0 - fveg) * vf["qsfc"]
+            + (1.0 - fveg) * bf["qsfc"]
         q2e = fveg * vf["q2v"] + (1.0 - fveg) * bf["q2b"]
-        qsfc_n = vf["qsfc"]
+        qsfc_n = bf["qsfc"]
         psnsun, psnsha = vf["psnsun"], vf["psnsha"]
     else:
         tv_n = tv
@@ -362,8 +369,9 @@ def error(swdown, fsa, fsr, fira, fsh, fcev, fgev, fctr, ssoil, beg_wb,
 def sflx(par, opts, nsnow, nsoil, dt, lat, yearlen, julian, cosz, zref,
          shdfac, shdmax, ice, ist, isc, smceq, sfctmp, sfcprs, psfc,
          uu, vv, q2, soldn, lwdn, prcp, tbot, co2air, o2air, foln,
-         ficeold, zsoil, state):
-    """One NOAHMP_SFLX step (:518-947), DVEG in {1,3,4} (no carbon).
+         ficeold, zsoil, state, pblh=500.0):
+    """One NOAHMP_SFLX step (:518-947), all DVEG options (CARBON pools
+    advanced for DVEG=2|5 via oracles/carbon.py).
 
     `state` dict holds the prognostics (Fortran-indexed dicts for
     layered fields); a NEW updated state dict is returned along with
@@ -424,7 +432,7 @@ def sflx(par, opts, nsnow, nsoil, dt, lat, yearlen, julian, cosz, zref,
                s["tg"], s["stc"], s["snowh"], s["eah"], s["tah"],
                s["sneqvo"], s["sneqv"], s["sh2o"], s["smc"], s["snice"],
                s["snliq"], s["albold"], s["cm"], s["ch"], s["tauss"],
-               s["qsfc"], psfc)
+               s["qsfc"], psfc, pblh=pblh)
     for k in ("tv", "tg", "stc", "eah", "tah", "cm", "ch", "qsfc",
               "albold", "tauss", "snice", "snliq", "sneqv", "snowh",
               "smc", "sh2o"):
@@ -453,6 +461,21 @@ def sflx(par, opts, nsnow, nsoil, dt, lat, yearlen, julian, cosz, zref,
               "fwet", "qsnow"):
         s[k] = w[k]
 
+    # carbon budgets for dynamic vegetation (:909-917)
+    cb = dict(gpp=0.0, npp=0.0, nee=0.0, autors=0.0, heters=0.0,
+              totsc=0.0, totlb=0.0)
+    if opts["dveg"] in (2, 5):
+        cb = o_carbon(par, nsnow, nsoil, dt, zsoil, w["dzsnso"],
+                      s["stc"], s["smc"], s["tv"], s["tg"], e["psn"],
+                      foln, par["smcmax"], e["btran"], e["apar"], fveg,
+                      igs, troot, lat,
+                      s["lfmass"], s["rtmass"], s["stmass"], s["wood"],
+                      s["stblcp"], s["fastcp"], s["lai"], s["sai"],
+                      masked=par.get("pheno_masked", False))
+        for k in ("lfmass", "rtmass", "stmass", "wood", "stblcp",
+                  "fastcp", "lai", "sai"):
+            s[k] = cb[k]
+
     errsw, erreng, errwat = error(
         swdown, e["fsa"], e["fsr"], e["fira"], e["fsh"], e["fcev"],
         e["fgev"], e["fctr"], e["ssoil"], beg_wb, s["canliq"],
@@ -477,5 +500,8 @@ def sflx(par, opts, nsnow, nsoil, dt, lat, yearlen, julian, cosz, zref,
                 sag=e["sag"], fsno=e["fsno"], fveg=fveg,
                 albedo=fsr_alb, qsnbot=w["qsnbot"], fpice=w["fpice"],
                 qmelt=e["qmelt"], errsw=errsw, erreng=erreng,
-                errwat=errwat, elai=elai, esai=esai)
+                errwat=errwat, elai=elai, esai=esai,
+                gpp=cb["gpp"], npp=cb["npp"], nee=cb["nee"],
+                autors=cb["autors"], heters=cb["heters"],
+                totsc=cb["totsc"], totlb=cb["totlb"])
     return s, diag

@@ -53,6 +53,16 @@ def _par_dict(p):
     d["taul"] = v2("taul")
     d["taus"] = v2("taus")
     d["is_urban"] = bool(np.asarray(p.is_urban))
+    # carbon-pool params (CARBON/CO2FLUX :8723-9105)
+    for k in ("sla", "ltovrc", "dilefc", "dilefw", "fragr", "mrp",
+              "wrrat", "wdpool", "tdlef", "arm", "rmf25", "rms25",
+              "rmr25"):
+        d[k] = g(k)
+    vt = int(np.asarray(p.vegtyp))
+    d["is_eblforest"] = vt == 13   # USGS EBLFOREST
+    # PHENOLOGY zeroing for non-vegetated classes (water/barren/snow/
+    # urban, module_sf_noahmplsm.F90:1073-1079; USGS indices)
+    d["pheno_masked"] = vt in (16, 19, 24) or d["is_urban"]
     return d
 
 
@@ -77,10 +87,13 @@ def _state_to_oracle(s):
         zwt=float(s.zwt), wa=float(s.wa), wt=float(s.wt),
         wslake=float(s.wslake), smcwtd=float(s.smcwtd),
         deeprech=float(s.deeprech), rech=float(s.rech),
-        lai=float(s.lai), sai=float(s.sai))
+        lai=float(s.lai), sai=float(s.sai),
+        lfmass=float(s.lfmass), rtmass=float(s.rtmass),
+        stmass=float(s.stmass), wood=float(s.wood),
+        stblcp=float(s.stblcp), fastcp=float(s.fastcp))
 
 
-def _forcing(hour, cold=False, prcp_mm_hr=0.0):
+def _forcing(hour, cold=False, prcp_mm_hr=0.0, lat=0.7, tbot=285.0):
     h = hour % 24
     cosz = float(np.sin(np.pi * (h - 6) / 12.0)) if 6 <= h <= 18 else 0.0
     cosz = max(0.0, cosz)
@@ -88,8 +101,8 @@ def _forcing(hour, cold=False, prcp_mm_hr=0.0):
     return dict(sfctmp=tair, sfcprs=95000.0, psfc=95000.0, uu=2.5,
                 vv=1.0, q2=0.004 if cold else 0.007, qc=0.0,
                 soldn=800.0 * cosz, lwdn=220.0 if cold else 330.0,
-                prcp=prcp_mm_hr / 3600.0, tbot=285.0, pblh=500.0,
-                cosz=cosz, lat=0.7, julian=(hour / 24.0) % 365,
+                prcp=prcp_mm_hr / 3600.0, tbot=tbot, pblh=500.0,
+                cosz=cosz, lat=lat, julian=(hour / 24.0) % 365,
                 co2air=95000.0 * 395.0e-6, o2air=95000.0 * 0.209,
                 foln=1.0)
 
@@ -128,10 +141,11 @@ def _ficeold_from(snice, snliq, isnow):
     return out
 
 
-def _run_pair(cfg, scenario, hours, tol):
-    p = _params()
+def _run_pair(cfg, scenario, hours, tol, vegtyp=7, soiltyp=3,
+              tsk=282.0, smc0=0.3):
+    p = _params(vegtyp, soiltyp)
     par = _par_dict(p)
-    s = initial_column_state(cfg, tsk=282.0, smc0=0.3)
+    s = initial_column_state(cfg, tsk=tsk, smc0=smc0)
     os_ = _state_to_oracle(s)
     opts = _opts(cfg)
     zs = {k: ZSOIL[k - 1] for k in range(1, NSOIL + 1)}
@@ -179,6 +193,13 @@ def _run_pair(cfg, scenario, hours, tol):
         rec("fsa", float(d.fsa), od["fsa"])
         rec("fsh", float(d.fsh), od["fsh"])
         rec("fira", float(d.fira), od["fira"])
+        if cfg.dveg in (2, 5):
+            for k in ("lfmass", "rtmass", "stmass", "wood", "stblcp",
+                      "fastcp", "lai", "sai"):
+                rec(k, float(getattr(s, k)), os_[k])
+            rec("nee", float(d.nee), od["nee"])
+            rec("gpp", float(d.gpp), od["gpp"])
+            rec("npp", float(d.npp), od["npp"])
 
     failures = []
     for name, (dv, hour, got, want) in sorted(worst.items()):
@@ -231,3 +252,103 @@ def test_sflx_trajectory_snow_cycle():
                         prcp_mm_hr=2.0 if 30 <= h < 40 else 0.0)
 
     worst = _run_pair(cfg, scen, 120, TOL_SNOW)
+
+
+# -- dynamic vegetation (DVEG=2|5): carbon pools -------------------------
+
+TOL_CARBON = dict(TOL_WARM, lfmass=0.5, rtmass=0.5, stmass=0.5,
+                  wood=0.5, stblcp=0.5, fastcp=0.5, lai=0.02, sai=0.01,
+                  nee=5e-7, gpp=5e-7, npp=5e-7)
+
+
+def test_sflx_trajectory_dveg2_carbon():
+    """3 days, grassland, CARBON pools active (DVEG=2, Ball-Berry):
+    LFMASS/STMASS/RTMASS/WOOD/FASTCP/STBLCP trajectories plus
+    NEE/GPP/NPP vs the CO2FLUX oracle (VERDICT r2 item 5)."""
+    cfg = NoahMPConfig(dveg=2)
+    _run_pair(cfg, lambda h: _forcing(
+        h, prcp_mm_hr=3.0 if 10 <= h < 20 else 0.0), 72, TOL_CARBON)
+
+
+def test_sflx_trajectory_dveg5_forest_carbon():
+    """DVEG=5 (predicted LAI, FVEG=SHDMAX) on deciduous broadleaf
+    forest (USGS 11) — exercises the wood pool and the WRRAT/WDPOOL
+    allocation split, plus a dry-down to drive leaf death (SD term)."""
+    cfg = NoahMPConfig(dveg=5)
+    _run_pair(cfg, lambda h: _forcing(
+        h, prcp_mm_hr=2.0 if 12 <= h < 16 else 0.0), 96, TOL_CARBON,
+        vegtyp=11, smc0=0.22)
+
+
+# -- MYJ / YSU surface-layer schemes (OPT_SFC=3/4), composed -------------
+
+# the TPU kernels use analytic psi forms where the reference
+# interpolates its 10001/1001-entry tables (quantified <5e-3 relative
+# in test_golden_sfcdif34); over multi-day composed trajectories the
+# accumulated state tolerance is slightly wider than TOL_WARM
+TOL_SFC34 = dict(tg=0.5, tv=0.5, tah=0.5, eah=30.0, sneqv=0.5,
+                 snowh=5e-3, canliq=0.05, canice=0.05, zwt=0.02,
+                 wa=1.0, isnow=0.0, smc=3e-3, sh2o=3e-3, stc=0.5,
+                 fsa=2.0, fsh=10.0, fira=10.0)
+
+
+def test_sflx_trajectory_myj():
+    """3 days grassland with rain under OPT_SFC=3 (MYJ exchange
+    coefficients inside loop1/loop3, UR-divided inout carry,
+    MYJ-consistent 2m diagnostics) vs the composed oracle
+    (VERDICT r2 item 6)."""
+    cfg = NoahMPConfig(opt_sfc=3)
+    _run_pair(cfg, lambda h: _forcing(
+        h, prcp_mm_hr=3.0 if 10 <= h < 20 else 0.0), 72, TOL_SFC34)
+
+
+def test_sflx_trajectory_ysu():
+    """3 days under OPT_SFC=4 (YSU/revised-MM5 scheme: regime select,
+    QFX feedback into the next iteration, 0.5/0.5 USTAR relaxation)
+    vs the composed oracle, including a cold snap."""
+    cfg = NoahMPConfig(opt_sfc=4)
+
+    def scen(h):
+        return _forcing(h, cold=48 <= h < 60,
+                        prcp_mm_hr=2.0 if 30 <= h < 40 else 0.0)
+
+    _run_pair(cfg, scen, 72, TOL_SFC34)
+
+
+# -- biome / soil sweep (VERDICT r2 item 8): the composed oracle ---------
+# previously only met the full column through one grassland point;
+# these compose the two-stream-heavy forest canopy, the bare-dominant
+# loop3 path over clay, and frozen organic soil at high latitude.
+
+def test_sflx_trajectory_needleleaf_forest():
+    """Evergreen needleleaf forest (USGS 14): dense canopy ->
+    TWOSTREAM + RAGRB + the canopy Newton loop dominate; rain band
+    exercises interception at high LAI."""
+    cfg = NoahMPConfig()
+    _run_pair(cfg, lambda h: _forcing(
+        h, prcp_mm_hr=3.0 if 10 <= h < 20 else 0.0), 72, TOL_WARM,
+        vegtyp=14)
+
+
+def test_sflx_trajectory_bare_clay():
+    """Barren (USGS 19) over clay (STAS 12): PHENOLOGY zeroes
+    LAI/SAI, FVEG=0, so the whole column runs through BARE_FLUX
+    (loop3) with clay's slow drainage (low DKSAT, high SMCREF)."""
+    cfg = NoahMPConfig()
+    _run_pair(cfg, lambda h: _forcing(
+        h, prcp_mm_hr=4.0 if 8 <= h < 24 else 0.0), 72, TOL_WARM,
+        vegtyp=19, soiltyp=12, smc0=0.35)
+
+
+def test_sflx_trajectory_organic_highlat_winter():
+    """Organic soil (STAS 13) grassland at 63N in deep winter: a long
+    cold spell with snowfall composes frozen-soil PHASECHANGE/FRH2O,
+    CSNOW/TDFCND on organic material, and the snow stack."""
+    cfg = NoahMPConfig()
+
+    def scen(h):
+        return _forcing(h, cold=h >= 12, lat=1.1, tbot=274.0,
+                        prcp_mm_hr=1.5 if 24 <= h < 36 else 0.0)
+
+    _run_pair(cfg, scen, 96, TOL_SNOW, soiltyp=13, tsk=272.0,
+              smc0=0.35)
