@@ -100,6 +100,13 @@ def barrier(tag: str, timeout_ms: int = _TIMEOUT_MS) -> None:
     _client().wait_at_barrier(tag, timeout_ms)
 
 
+def kv_delete(key: str) -> None:
+    try:
+        _client().key_value_delete(key)
+    except Exception:
+        pass   # best-effort: a missing key or an old jaxlib is fine
+
+
 def exchange_edge_rows(tag: str, top_row, bottom_row,
                        rank=None, nproc=None):
     """Give neighbours this block's first/last row; receive theirs.
@@ -107,6 +114,11 @@ def exchange_edge_rows(tag: str, top_row, bottom_row,
     Returns (above, below): the global row just above/below this block
     (zeros at the domain edges — the stencil's interior ring masks
     those contributions anyway, grid.lateral.lateralflow).
+
+    Every key has exactly one consumer (the adjacent rank), which
+    deletes it after the read — so the coordination service holds at
+    most O(nproc) halo keys at any time instead of growing by one
+    key-pair per rank per STEPWTD over the run.
     """
     rank = process_index() if rank is None else rank
     nproc = process_count() if nproc is None else nproc
@@ -116,10 +128,16 @@ def exchange_edge_rows(tag: str, top_row, bottom_row,
         kv_put(f"{tag}/edge/{rank}/top", top)
     if rank < nproc - 1:
         kv_put(f"{tag}/edge/{rank}/bot", bot)
-    above = (kv_get(f"{tag}/edge/{rank - 1}/bot") if rank > 0
-             else np.zeros_like(top))
-    below = (kv_get(f"{tag}/edge/{rank + 1}/top") if rank < nproc - 1
-             else np.zeros_like(bot))
+    if rank > 0:
+        above = kv_get(f"{tag}/edge/{rank - 1}/bot")
+        kv_delete(f"{tag}/edge/{rank - 1}/bot")
+    else:
+        above = np.zeros_like(top)
+    if rank < nproc - 1:
+        below = kv_get(f"{tag}/edge/{rank + 1}/top")
+        kv_delete(f"{tag}/edge/{rank + 1}/top")
+    else:
+        below = np.zeros_like(bot)
     return above, below
 
 
@@ -128,7 +146,9 @@ def exchange_edge_rows(tag: str, top_row, bottom_row,
 def merge_shards(paths, out_path):
     """Concatenate per-process history/restart shard files (each with
     ROW0/GLOBAL_NY global attrs and a south_north-leading layout) into
-    one reference-layout file."""
+    one reference-layout file, carrying over every per-variable
+    attribute (units/description/MemoryOrder/...) and every global
+    attribute except the shard bookkeeping pair."""
     from ..io.netcdf_io import _wfile
     from ..io.nc4 import open_nc
 
@@ -141,6 +161,10 @@ def merge_shards(paths, out_path):
 
     first = shards[0][1]
     with _wfile(str(out_path)) as out:
+        for gname, gval in _attr_dict(first).items():
+            if gname in ("ROW0", "GLOBAL_NY"):
+                continue
+            setattr(out, gname, gval)
         for name, size in first.dimensions.items():
             out.createDimension(
                 name, ny_global if name == "south_north" else size)
@@ -159,8 +183,19 @@ def merge_shards(paths, out_path):
                 typ = "c"
             v = out.createVariable(name, typ, dims)
             v[:] = data
+            for aname, aval in _attr_dict(var).items():
+                setattr(v, aname, aval)
     for _, nc in shards:
         nc.close()
+
+
+def _attr_dict(obj):
+    """All attributes of an nc4/scipy file or variable handle."""
+    if hasattr(obj, "attrs"):            # nc4 _Var
+        return obj.attrs()
+    if hasattr(obj, "global_attrs"):     # nc4 file
+        return obj.global_attrs()
+    return dict(getattr(obj, "_attributes", {}) or {})   # scipy
 
 
 def _var_dims(nc, name):

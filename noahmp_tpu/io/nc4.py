@@ -75,18 +75,20 @@ class _Var:
     """One variable; mirrors the scipy netcdf variable surface used by
     the I/O layer: whole/record item get/set plus attribute set."""
 
-    def __init__(self, nc, varid, name, xtype, shape, dimids):
+    def __init__(self, nc, varid, name, xtype, shape, dimids,
+                 dimnames=()):
         object.__setattr__(self, "_nc", nc)
         object.__setattr__(self, "_varid", varid)
         object.__setattr__(self, "name", name)
         object.__setattr__(self, "_xtype", xtype)
         object.__setattr__(self, "shape", tuple(shape))
         object.__setattr__(self, "_dimids", tuple(dimids))
+        object.__setattr__(self, "dimensions", tuple(dimnames))
         object.__setattr__(self, "_cache", None)
 
     # -- attributes ----------------------------------------------------
     def __setattr__(self, key, value):
-        if key.startswith("_") or key in ("name", "shape"):
+        if key.startswith("_") or key in ("name", "shape", "dimensions"):
             object.__setattr__(self, key, value)
             return
         self._nc._put_att(self._varid, key, value)
@@ -98,6 +100,11 @@ class _Var:
         if val is None:
             raise AttributeError(key)
         return val
+
+    def attrs(self):
+        """{name: value} of this variable's attributes."""
+        return {n: self._nc._get_att(self._varid, n)
+                for n in self._nc._att_names(self._varid)}
 
     # -- data ----------------------------------------------------------
     @property
@@ -277,7 +284,8 @@ class nc4_file:
         if self._deflate > 0 and xtype != NC_CHAR and len(dimids) >= 2:
             _chk(self._lib.nc_def_var_deflate(
                 self._ncid, varid.value, 1, 1, self._deflate), name)
-        v = _Var(self, varid.value, name, xtype, shape, dimids)
+        v = _Var(self, varid.value, name, xtype, shape, dimids,
+                 dimnames=tuple(dims))
         self.variables[name] = v
         return v
 
@@ -323,6 +331,29 @@ class nc4_file:
         return (np.float32(vals[0]) if alen.value == 1
                 else np.array(vals, np.float32))
 
+    def _att_names(self, varid):
+        """Attribute names of a variable (or NC_GLOBAL)."""
+        lib = self._lib
+        natts = ctypes.c_int()
+        if varid == NC_GLOBAL:
+            _chk(lib.nc_inq_natts(self._ncid, ctypes.byref(natts)))
+        else:
+            st = lib.nc_inq_varnatts(self._ncid, varid,
+                                     ctypes.byref(natts))
+            if st != 0:
+                return []
+        names = []
+        for i in range(natts.value):
+            buf = ctypes.create_string_buffer(256)
+            _chk(lib.nc_inq_attname(self._ncid, varid, i, buf))
+            names.append(buf.value.decode())
+        return names
+
+    def global_attrs(self):
+        """{name: value} of all global attributes."""
+        return {n: self._get_att(NC_GLOBAL, n)
+                for n in self._att_names(NC_GLOBAL)}
+
     # global attributes: scipy exposes them as instance attributes
     def __setattr__(self, key, value):
         if key.startswith("_") or key in ("variables", "dimensions"):
@@ -349,11 +380,13 @@ class nc4_file:
         _chk(lib.nc_inq_ndims(self._ncid, ctypes.byref(ndims)))
         _chk(lib.nc_inq_nvars(self._ncid, ctypes.byref(nvars)))
         dimlen = {}
+        dimname = {}
         for d in range(ndims.value):
             nm = ctypes.create_string_buffer(256)
             ln = ctypes.c_size_t()
             _chk(lib.nc_inq_dim(self._ncid, d, nm, ctypes.byref(ln)))
             dimlen[d] = ln.value
+            dimname[d] = nm.value.decode()
             self.dimensions[nm.value.decode()] = ln.value
         for v in range(nvars.value):
             nm = ctypes.create_string_buffer(256)
@@ -367,7 +400,9 @@ class nc4_file:
             shape = [dimlen[dimids[i]] for i in range(nd.value)]
             self.variables[nm.value.decode()] = _Var(
                 self, v, nm.value.decode(), xtype.value, shape,
-                dimids[:nd.value])
+                dimids[:nd.value],
+                dimnames=tuple(dimname[dimids[i]]
+                               for i in range(nd.value)))
 
     # -- lifecycle -----------------------------------------------------------
     def close(self):
