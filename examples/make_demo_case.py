@@ -1,17 +1,22 @@
 """Generate a small self-contained demo case and namelist.
 
 Creates a (ny, nx) domain file, three days of 3-hourly forcing with a
-diurnal cycle, and a `noahmp.namelist` pointing at them, so the CLI
-runs end-to-end with no external data:
+diurnal cycle, an initial-condition file, and a `noahmp.namelist`
+pointing at them, so the CLI runs end-to-end with no external data:
 
     python examples/make_demo_case.py demo_case
     python -m noahmp_tpu demo_case/noahmp.namelist --probe
 
-File formats follow the reference HRLDAS conventions (domain/geogrid
-attrs per module_hrldas_netcdf_io.F90:179-324, LDASIN forcing variables
-per :1230-1248) so reference-prepared cases drop in unchanged.
+File formats follow the reference HRLDAS conventions exactly (domain
+global attrs per module_hrldas_netcdf_io.F90:179-324, init file per
+:688-808 with the XZY 3-D layout of make_var_att_3d :1932, LDASIN
+forcing variables per :1230-1248) so the SAME case directory also runs
+under the reference Fortran `noahmp.exe` (scripts/fortran_parity.py):
+forcing files are hard-linked under the reference's `input.<date>`
+names (driver :321-326) next to the LDASIN aliases.
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -24,19 +29,25 @@ from noahmp_tpu.io import netcdf_io as ncio            # noqa: E402
 from noahmp_tpu.driver.dates import geth_newdate       # noqa: E402
 
 START = "2017-05-01_00:00:00"
-NDAYS = 3
 INPUT_TIMESTEP = 10800
 
 
-def write_domain(path, ny, nx):
+def write_domain(path, ny, nx, glacier=True):
     with netcdf_file(path, "w") as nc:
         nc.createDimension("Time", 1)
         nc.createDimension("south_north", ny)
         nc.createDimension("west_east", nx)
-        nc.DX = 1000.0
-        nc.ISWATER = 16
-        nc.ISICE = 24
-        nc.ISURBAN = 1
+        # full global-attribute set hrldas_hdrinfo requires (:208-241)
+        nc.DX = np.float32(1000.0)
+        nc.DY = np.float32(1000.0)
+        nc.TRUELAT1 = np.float32(30.0)
+        nc.TRUELAT2 = np.float32(60.0)
+        nc.STAND_LON = np.float32(-98.0)
+        nc.MAP_PROJ = np.int32(1)
+        nc.ISWATER = np.int32(16)
+        nc.ISICE = np.int32(24)
+        nc.ISURBAN = np.int32(1)
+        nc.ISOILWATER = np.int32(14)
         nc.MMINLU = "USGS"
 
         def mk(name, data, typ="f"):
@@ -53,7 +64,8 @@ def write_domain(path, ny, nx):
         veg[:, nx // 3:2 * nx // 3] = 2
         veg[:, 2 * nx // 3:] = 14
         veg[0, 0] = 16    # water
-        veg[-1, -1] = 24  # land ice
+        if glacier:
+            veg[-1, -1] = 24  # land ice
         mk("IVGTYP", veg, "i")
         soil = np.full((ny, nx), 3, np.int32)
         soil[:, nx // 2:] = 8
@@ -62,11 +74,46 @@ def write_domain(path, ny, nx):
         mk("SEAICE", np.zeros((ny, nx), np.float32))
         mk("HGT", (300.0 - 2.0 * xx + yy).astype(np.float32))
         mk("TMN", np.full((ny, nx), 285.0, np.float32))
+        mk("MAPFAC_MX", np.ones((ny, nx), np.float32))
+        mk("MAPFAC_MY", np.ones((ny, nx), np.float32))
 
 
-def write_forcings(indir, ny, nx):
+def write_init(path, ny, nx, nsoil=4):
+    """Initial conditions read by both drivers (hrldas_init_read
+    :739-808): CANWAT/SKINTEMP/WEASD/SNODEP + STEMP/SMOIS in the
+    reference XZY layout (Time, south_north, soil_layers_stag,
+    west_east)."""
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("Time", 1)
+        nc.createDimension("south_north", ny)
+        nc.createDimension("soil_layers_stag", nsoil)
+        nc.createDimension("west_east", nx)
+
+        def mk2(name, val, units="-"):
+            v = nc.createVariable(name, "f",
+                                  ("Time", "south_north", "west_east"))
+            v[0] = np.full((ny, nx), val, np.float32)
+            v.units = units
+
+        mk2("CANWAT", 0.0, "mm")
+        mk2("SKINTEMP", 285.0, "K")
+        mk2("WEASD", 0.0, "mm")
+        mk2("SNODEP", 0.0, "m")
+        stemp = np.array([285.0, 285.5, 286.0, 286.5], np.float32)[:nsoil]
+        smois = np.full(nsoil, 0.28, np.float32)
+        for name, prof, units in (("STEMP", stemp, "K"),
+                                  ("SMOIS", smois, "m3 m-3")):
+            v = nc.createVariable(name, "f",
+                                  ("Time", "south_north",
+                                   "soil_layers_stag", "west_east"))
+            v[0] = np.broadcast_to(prof[None, :, None],
+                                   (ny, nsoil, nx)).astype(np.float32)
+            v.units = units
+
+
+def write_forcings(indir, ny, nx, ndays):
     date = START
-    nfiles = NDAYS * 86400 // INPUT_TIMESTEP + 1
+    nfiles = ndays * 86400 // INPUT_TIMESTEP + 1
     for i in range(nfiles):
         hour = (i * INPUT_TIMESTEP // 3600) % 24
         diurnal = np.sin(np.pi * max(0.0, (hour - 6.0)) / 12.0) \
@@ -79,15 +126,21 @@ def write_forcings(indir, ny, nx):
             "RAINRATE": 0.0005 if i % 9 == 4 else 0.0,
         }
         compact = date.replace("-", "").replace("_", "").replace(":", "")
+        path = f"{indir}/{compact[:10]}.LDASIN_DOMAIN1"
         ncio.write_forcing_file(
-            f"{indir}/{compact[:10]}.LDASIN_DOMAIN1",
+            path,
             {k: np.full((ny, nx), v, np.float32)
              for k, v in fields.items()}, ny, nx)
+        # reference driver name: input.YYYYMMDD'T'HHMMSS (:321-326)
+        ref = f"{indir}/input.{compact[:8]}T{compact[8:14]}"
+        if not os.path.exists(ref):
+            os.link(path, ref)
         date = geth_newdate(date, INPUT_TIMESTEP)
 
 
 NAMELIST = """&HRLDAS_NOAHMP
  CONST_FILE = '{case}/domain.nc'
+ INIT_FILE = '{case}/init.nc'
  INDIR = '{case}/input'
  OUTDIR = '{case}/output'
  RESDIR = '{case}/restart'
@@ -101,7 +154,7 @@ NAMELIST = """&HRLDAS_NOAHMP
  DYNAMIC_VEG_OPTION = 4
  CANOPY_STOMATAL_RESISTANCE_OPTION = 1
  BTR_OPTION = 1
- RUNOFF_OPTION = 3
+ RUNOFF_OPTION = {opt_run}
  SURFACE_DRAG_OPTION = 1
  FROZEN_SOIL_OPTION = 1
  SUPERCOOLED_WATER_OPTION = 1
@@ -125,16 +178,28 @@ NAMELIST = """&HRLDAS_NOAHMP
 
 
 def main():
-    case = Path(sys.argv[1] if len(sys.argv) > 1 else "demo_case")
-    ny = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    nx = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("case", nargs="?", default="demo_case")
+    ap.add_argument("ny", nargs="?", type=int, default=24)
+    ap.add_argument("nx", nargs="?", type=int, default=32)
+    ap.add_argument("--ndays", type=int, default=3)
+    ap.add_argument("--opt-run", type=int, default=3)
+    ap.add_argument("--no-glacier", action="store_true",
+                    help="omit the land-ice cell (for runs isolating "
+                    "the non-glacier physics)")
+    args = ap.parse_args()
+    case = Path(args.case)
     (case / "input").mkdir(parents=True, exist_ok=True)
-    write_domain(str(case / "domain.nc"), ny, nx)
-    write_forcings(str(case / "input"), ny, nx)
+    write_domain(str(case / "domain.nc"), args.ny, args.nx,
+                 glacier=not args.no_glacier)
+    write_init(str(case / "init.nc"), args.ny, args.nx)
+    write_forcings(str(case / "input"), args.ny, args.nx, args.ndays)
     (case / "noahmp.namelist").write_text(
-        NAMELIST.format(case=case.resolve(), ndays=NDAYS))
+        NAMELIST.format(case=case.resolve(), ndays=args.ndays,
+                        opt_run=args.opt_run))
     print(f"demo case written to {case}/ "
-          f"({ny}x{nx}, {NDAYS} days @ 3-hourly forcing)")
+          f"({args.ny}x{args.nx}, {args.ndays} days @ 3-hourly forcing)")
     print(f"run it:  python -m noahmp_tpu {case}/noahmp.namelist --probe")
 
 

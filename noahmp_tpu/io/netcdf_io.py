@@ -278,6 +278,30 @@ FORCING_VARS = ("T2D", "Q2D", "U2D", "V2D", "PSFC", "LWDOWN", "SWDOWN",
 OPTIONAL_FORCING_VARS = ("VEGFRA", "LAI")
 
 
+def _grid3d_to_znyx(var, nl):
+    """Read one gridded 3-D variable as (nlayers, ny, nx).
+
+    The reference file layout is XZY — C dims (Time, south_north,
+    layers, west_east) (make_var_att_3d writes (ix, layers, jx, times)
+    in Fortran order, module_hrldas_netcdf_io.F90:1932-1935, and
+    netcdf_get_real3d reads start=(x,1,y), :508).  Files this framework
+    wrote before round 3 used a layers-leading (Time, layers,
+    south_north, west_east) layout; both are accepted, decided by
+    dimension names when the handle carries them, else by matching the
+    expected layer count."""
+    a = np.array(var[:])
+    dims = tuple(str(d) for d in getattr(var, "dimensions", ()) or ())
+    if a.ndim == 4:
+        a = np.array(a[0])
+        dims = dims[1:]
+    lax = next((i for i, d in enumerate(dims) if "layers" in d), None)
+    if lax is None:
+        lax = 0 if a.shape[0] == nl else 1
+    if lax == 1:
+        a = a.transpose(1, 0, 2)     # (ny, nl, nx) -> (nl, ny, nx)
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
 def read_init(path, nsoil):
     """Cold-start initial-condition reader (hrldas_init_read_seq,
     module_hrldas_netcdf_io.F90:739-808).
@@ -315,8 +339,8 @@ def read_init(path, nsoil):
         out["weasd"] = weasd  # meters, as the reference driver receives
         fndsnowh = "SNODEP" in v
         out["snodep"] = rd("SNODEP") if fndsnowh else np.zeros_like(weasd)
-        stemp = rd("STEMP")
-        smois = rd("SMOIS")
+        stemp = _grid3d_to_znyx(v["STEMP"], nsoil)
+        smois = _grid3d_to_znyx(v["SMOIS"], nsoil)
         for name, a in (("STEMP", stemp), ("SMOIS", smois)):
             if a.shape[0] < nsoil:
                 raise ValueError(f"{name} has {a.shape[0]} layers < {nsoil}")
@@ -547,10 +571,19 @@ class ForcingReader:
         self._shape = None
 
     def _fname(self, date_str):
-        # HRLDAS forcing name: compact date (:321-326 builds
-        # input.<date>; common convention uses YYYYMMDDHH.LDASIN)
+        """HRLDAS forcing name.  The reference opens ``input.<date>``
+        with the full compact stamp YYYYMMDD'T'HHMMSS (driver :321-326,
+        hrldas_input_read :1209-1212); prepared datasets commonly use
+        YYYYMMDDHH.LDASIN_DOMAIN1.  The configured template is tried
+        first, the reference name as fallback."""
         compact = date_str.replace("-", "").replace("_", "").replace(":", "")
-        return self.indir / self.tpl.format(date=compact[:10])
+        d14 = compact[:8] + "T" + compact[8:14]
+        p = self.indir / self.tpl.format(date=compact[:10])
+        if not p.exists():
+            alt = self.indir / f"input.{d14}"
+            if alt.exists():
+                return alt
+        return p
 
     def _read_file(self, path):
         if self.row_range is not None or self.col_range is not None:
@@ -727,11 +760,16 @@ class HistoryWriter:
                     nl = nsoil if kind == "soil" else nsnow
                     if kind == "sosn":
                         continue  # history skips sosn fields
+                    # reference XZY layout: (Time, south_north, layers,
+                    # west_east) (make_var_att_3d :1932-1935)
                     var = nc.createVariable(
-                        name, "f", ("Time", dim, "south_north", "west_east"))
-                    d3 = data.reshape(ny, nx, nl).transpose(2, 0, 1)
-                    var[0] = np.where(self.water[None], C.MISSING_OUTPUT,
+                        name, "f", ("Time", "south_north", dim, "west_east"))
+                    d3 = data.reshape(ny, nx, nl).transpose(0, 2, 1)
+                    var[0] = np.where(self.water[:, None, :],
+                                      C.MISSING_OUTPUT,
                                       d3.astype(np.float32))
+                    var.MemoryOrder = b"XZY"
+                    var.stagger = b"Z"
                 var.units = units.encode()
                 var.description = desc.encode()
 
@@ -790,10 +828,13 @@ def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None,
                        "sosn": "sosn_layers"}[kind]
                 nl = {"soil": nsoil, "snow": nsnow,
                       "sosn": nsnow + nsoil}[kind]
+                # reference XZY layout (make_var_att_3d :1932-1935)
                 var = nc.createVariable(
-                    ncname, "f", ("Time", dim, "south_north", "west_east"))
-                var[0] = data.reshape(ny, nx, nl).transpose(2, 0, 1) \
+                    ncname, "f", ("Time", "south_north", dim, "west_east"))
+                var[0] = data.reshape(ny, nx, nl).transpose(0, 2, 1) \
                     .astype(np.float32)
+                var.MemoryOrder = b"XZY"
+                var.stagger = b"Z"
         for (ncname, field) in RESTART_ACCUM:
             var = nc.createVariable(ncname, "f",
                                     ("Time", "south_north", "west_east"))
@@ -806,9 +847,9 @@ def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None,
         if smceq is not None:
             var = nc.createVariable(
                 "SMOISEQ", "f",
-                ("Time", "soil_layers_stag", "south_north", "west_east"))
+                ("Time", "south_north", "soil_layers_stag", "west_east"))
             var[0] = np.asarray(smceq).reshape(ny, nx, nsoil) \
-                .transpose(2, 0, 1).astype(np.float32)
+                .transpose(0, 2, 1).astype(np.float32)
         if mmf is not None:
             for (ncname, field) in RESTART_MMF:
                 var = nc.createVariable(
@@ -848,12 +889,15 @@ def read_restart(path, cfg, ny, nx):
             v = lookup(nc.variables, ncname)
             if v is None:
                 continue
-            a = np.array(v[0])
-            a = np.ascontiguousarray(
-                a, dtype=np.int32 if kind == "int2d" else np.float32)
             if kind in ("2d", "int2d"):
+                a = np.ascontiguousarray(
+                    np.array(v[0]),
+                    dtype=np.int32 if kind == "int2d" else np.float32)
                 state_fields[field] = a.reshape(n)
             else:
+                nl = {"soil": nsoil, "snow": nsnow,
+                      "sosn": nsnow + nsoil}[kind]
+                a = _grid3d_to_znyx(v, nl)       # (nl, ny, nx)
                 state_fields[field] = a.transpose(1, 2, 0).reshape(n, -1)
         for (ncname, field) in RESTART_ACCUM:
             v = lookup(nc.variables, ncname)
@@ -872,8 +916,8 @@ def read_restart(path, cfg, ny, nx):
                 extras[ncname] = np.ascontiguousarray(
                     nc.variables[ncname][0], dtype=np.float32).reshape(n)
         if "SMOISEQ" in nc.variables:
-            extras["smceq"] = np.ascontiguousarray(
-                nc.variables["SMOISEQ"][0], dtype=np.float32) \
+            extras["smceq"] = _grid3d_to_znyx(
+                nc.variables["SMOISEQ"], nsoil) \
                 .transpose(1, 2, 0).reshape(n, -1)
     # reassemble stc
     if "stc_snow" in state_fields and "stc_soil" in state_fields:

@@ -221,15 +221,23 @@ def test_init_file_cold_start(setup_run, tmp_path):
         mk2("SKINTEMP", 291.5)
         mk2("WEASD", 25.0, units="kg/m2")   # 25 mm SWE
         mk2("SNODEP", 0.12)
-        for name, val in (("STEMP", 288.0), ("SMOIS", 0.33)):
-            v = nc.createVariable(name, "f", ("Time", "soil_layers_stag",
-                                              "south_north", "west_east"))
-            v[0] = np.full((nsoil, ny, nx), val, np.float32)
+        # reference XZY layout: (Time, south_north, layers, west_east)
+        # (make_var_att_3d :1932-1935) with per-layer-distinct STEMP so
+        # a transposed read would be caught
+        stemp_layers = np.array([288.0, 287.0, 286.0, 285.0], np.float32)
+        for name, prof in (("STEMP", stemp_layers),
+                           ("SMOIS", np.full(nsoil, 0.33, np.float32))):
+            v = nc.createVariable(name, "f", ("Time", "south_north",
+                                              "soil_layers_stag",
+                                              "west_east"))
+            v[0] = np.broadcast_to(prof[None, :, None],
+                                   (ny, nsoil, nx)).astype(np.float32)
 
     ini, fndsnowh = ncio.read_init(str(init), nsoil)
     assert fndsnowh
     assert np.allclose(ini["weasd"], 0.025)  # kg/m2 -> m
     assert ini["smois"].shape == (nsoil, ny, nx)
+    assert np.allclose(ini["stemp"][:, 0, 0], stemp_layers)
 
     from noahmp_tpu.driver.model import LandModel
     from noahmp_tpu.driver.namelist import read_namelist as rn
@@ -241,7 +249,7 @@ def test_init_file_cold_start(setup_run, tmp_path):
     assert np.allclose(np.asarray(s.sneqv), 25.0)   # mm
     assert np.allclose(np.asarray(s.snowh), 0.12)
     assert np.allclose(np.asarray(s.canliq) + np.asarray(s.canice), 0.15)
-    assert np.allclose(np.asarray(s.stc[:, 3:]), 288.0)
+    assert np.allclose(np.asarray(s.stc[:, 3:]), stemp_layers[None, :])
 
 
 def test_mmf_runoff_file_and_groundwater_init(setup_run, tmp_path):
@@ -504,7 +512,8 @@ def test_netcdf4_format_and_field_parity(setup_run, tmp_path):
         for name in ("SWFORC", "COSZ", "LWFORC", "RAINRATE", "EMISS",
                      "LH"):
             assert nc.variables[name][0].shape == (ny, nx), name
-        assert nc.variables["ZSNSO_SN"][0].shape == (cfg.nsnow, ny, nx)
+        # reference XZY layout: (south_north, layers, west_east)
+        assert nc.variables["ZSNSO_SN"][0].shape == (ny, cfg.nsnow, nx)
         # LH = FCEV+FGEV+FCTR and the SW forcing echoes the input
         assert np.isfinite(nc.variables["LH"][0][1:, 1:]).all()
 
