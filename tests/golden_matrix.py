@@ -26,7 +26,9 @@ BASE = dict(dveg=1, opt_crs=1, opt_btr=1, opt_run=1, opt_sfc=1,
 CONFIGS = {
     "base": {},
     "dveg2": {"dveg": 2},
+    "dveg3": {"dveg": 3},
     "dveg4": {"dveg": 4},
+    "dveg5": {"dveg": 5},
     "crs2": {"opt_crs": 2},
     "btr2": {"opt_btr": 2},
     "btr3": {"opt_btr": 3},
