@@ -188,16 +188,22 @@ class LandModel:
         win_x1 = rs.xend if rs.xend > 0 else dom.nx
         if (win_y0, win_x0, win_y1, win_x1) != (0, 0, dom.ny, dom.nx):
             dom = ncio.crop_domain(dom, win_y0, win_y1, win_x0, win_x1)
-        # multi-host: each process owns a contiguous row block of the
-        # (windowed) domain (grid.multihost; SURVEY §5.8) — everything
-        # below operates on the local block, and I/O is per-host
+        # multi-host: each process owns a contiguous 2-D block of the
+        # (windowed) domain (grid.multihost; the reference's
+        # nprocx x nprocy decomposition, mpp_land_partition_calc
+        # :227-332) — everything below operates on the local block,
+        # and I/O is per-host
         nproc, rank = jax.process_count(), jax.process_index()
         ny_global, row0 = dom.ny, 0
+        nx_global, col0 = dom.nx, 0
+        pgrid = (1, 1)
         dom_full = dom
         if nproc > 1:
             from ..grid import multihost as mh
-            row0, r1 = mh.row_partition(dom.ny, nproc, rank)
-            dom = ncio.slice_domain(dom, row0, r1)
+            pgrid = mh.procs_xy(nproc, dom.ny, dom.nx)
+            row0, r1, col0, c1 = mh.block_partition(
+                dom.ny, dom.nx, nproc, rank)
+            dom = ncio.crop_domain(dom, row0, r1, col0, c1)
         n = dom.ny * dom.nx
         # the domain file's MMINLU attribute picks the landuse scheme
         # (module_hrldas_netcdf_io.F90:239); namelist is the fallback
@@ -278,17 +284,24 @@ class LandModel:
                     and Path(rs.mmf_runoff_file).exists() else None)
 
             if nproc > 1:
-                # static stencil halo rows straight from the GLOBAL
+                # static stencil halo ring straight from the GLOBAL
                 # setup files — no exchange needed for time-invariant
                 # fields; only WTD is exchanged at runtime
-                def edge_rows(a2d, fillv=0.0):
-                    nyg_, nx_ = a2d.shape
-                    top = (a2d[row0 - 1] if row0 > 0
-                           else np.full(nx_, fillv, a2d.dtype))
-                    bot = (a2d[row0 + dom.ny]
-                           if row0 + dom.ny < nyg_
-                           else np.full(nx_, fillv, a2d.dtype))
-                    return np.stack([top, bot]).astype(np.float32)
+                def edge_ring(a2d, fillv=0.0):
+                    """1-cell neighbour ring of this block cut from a
+                    global (ny_global, nx_global) array; top/bot rows
+                    include the diagonal corners (zeros/fill past the
+                    physical domain edge — masked by the stencil's
+                    global interior ring)."""
+                    pd = np.pad(a2d.astype(np.float32), 1,
+                                constant_values=np.float32(fillv))
+                    r, c = row0 + 1, col0 + 1   # block org in padded
+                    return {
+                        "top": pd[r - 1, c - 1:c + dom.nx + 1],
+                        "bot": pd[r + dom.ny, c - 1:c + dom.nx + 1],
+                        "left": pd[r:r + dom.ny, c - 1],
+                        "right": pd[r:r + dom.ny, c + dom.nx],
+                    }
 
                 stf = dom_full.soiltyp
                 sv_e = np.clip(stf - 1, 0, tables.soil.ncat - 1)
@@ -298,23 +311,25 @@ class LandModel:
                 water_f = ((dom_full.xland > 1.5)
                            | (dom_full.vegtyp == dom.iswater))
                 land_f = ~water_f & ~(dom_full.seaice > 0.5)
+                gshape = (ny_global, nx_global)
                 static_halo = {
-                    "klat": edge_rows(klat_full.astype(np.float32)),
-                    "topo": edge_rows(dom_full.hgt),
-                    "lm": edge_rows(
+                    "klat": edge_ring(klat_full.astype(np.float32)),
+                    "topo": edge_ring(dom_full.hgt),
+                    "lm": edge_ring(
                         np.where(land_f, 1.0, -1.0).astype(np.float32)),
-                    "area": np.full((2, dom.nx), dom.dx * dom.dx,
-                                    np.float32),
-                    "fdepth": (edge_rows(mr2d["fdepth"])
+                    "area": edge_ring(
+                        np.full(gshape, dom.dx * dom.dx, np.float32)),
+                    "fdepth": (edge_ring(mr2d["fdepth"])
                                if mr2d is not None
-                               else np.full((2, dom.nx), 100.0,
-                                            np.float32)),
+                               else edge_ring(
+                                   np.full(gshape, 100.0, np.float32))),
                 }
 
             if mr2d is not None:
                 # read_mmf_runoff (:170-174, io:326-392); multi-host
-                # slices this process's row block out of the global file
-                sl = slice(row0, row0 + dom.ny)
+                # slices this process's block out of the global file
+                sl = (slice(row0, row0 + dom.ny),
+                      slice(col0, col0 + dom.nx))
                 mr = {k: jnp.asarray((v[sl] if nproc > 1 else v)
                                      .reshape(n))
                       for k, v in mr2d.items()}
@@ -333,13 +348,15 @@ class LandModel:
                     init_halo = None
                     if nproc > 1:
                         init_halo = dict(static_halo,
-                                         wtd=edge_rows(mr2d["zwt"]))
+                                         wtd=edge_ring(mr2d["zwt"]))
                     wtd, smois2, sh2o2, smceq, smcwtd = groundwater_init(
                         cfg, tables, soiltyp, vegtyp, tables.veg.isurban,
                         np.asarray(masks.land), mmf, (dom.ny, dom.nx),
                         wtd0, np.asarray(state.smc), np.asarray(state.sh2o),
                         WTDDT_MINUTES, halo=init_halo, row0=row0,
-                        ny_global=ny_global if nproc > 1 else None)
+                        ny_global=ny_global if nproc > 1 else None,
+                        col0=col0,
+                        nx_global=nx_global if nproc > 1 else None)
                     state = dataclasses.replace(
                         state, zwt=jnp.asarray(wtd),
                         smc=jnp.asarray(smois2), sh2o=jnp.asarray(sh2o2),
@@ -406,8 +423,7 @@ class LandModel:
             from .dates import geth_idts
             m.itime = geth_idts(date, rs.start_date) // int(cfg.dt)
         if static_halo is not None:
-            m._static_halo = {k: jnp.asarray(v)
-                              for k, v in static_halo.items()}
+            m._static_halo = jtu.tree_map(jnp.asarray, static_halo)
         m._land_full = land_full
         m._params_full = params_full
         m._full_tmpl = full_tmpl
@@ -424,17 +440,21 @@ class LandModel:
         m.shdmax_grid = _gvf("SHDMAX", dom.shdmax)
         if rs.indir:
             # forcing hyperslab: the namelist window offset plus this
-            # process's row block; full-file reads when neither applies
+            # process's block; full-file reads when neither applies
             frow0 = win_y0 + row0
+            fcol0 = win_x0 + col0
             has_window = (win_y0, win_x0) != (0, 0) or rs.yend > 0 \
                 or rs.xend > 0
             m.forcing_reader = ncio.ForcingReader(
                 rs.indir, rs.input_timestep,
                 row_range=((frow0, frow0 + dom.ny)
                            if (nproc > 1 or has_window) else None),
-                col_range=((win_x0, win_x1) if has_window else None))
-        shard = (rank, row0, ny_global) if nproc > 1 else None
+                col_range=((fcol0, fcol0 + dom.nx)
+                           if (nproc > 1 or has_window) else None))
+        shard = ((rank, row0, ny_global, col0, nx_global)
+                 if nproc > 1 else None)
         m._shard = shard
+        m._pgrid = pgrid
         m.history = ncio.HistoryWriter(rs.outdir, cfg, dom.ny, dom.nx,
                                        vegtyp, soiltyp, dom.iswater,
                                        shard=shard)
@@ -475,6 +495,8 @@ class LandModel:
         shard = self._shard
         row0 = shard[1] if shard else 0
         nyg = shard[2] if shard else None
+        col0 = shard[3] if shard else 0
+        nxg = shard[4] if shard else None
 
         def mmf_update(s, mmf, halo=None):
             if idxd is None:
@@ -493,7 +515,8 @@ class LandModel:
             wtd, smc, sh2o, smcwtd, deeprech, mmf2 = wtable_mmf(
                 cfg, params_full, mmf, shape, land_full, smceq_full,
                 w, sm, sh, sw, dr, rc, WTDDT_MINUTES,
-                halo=halo, row0=row0, ny_global=nyg)
+                halo=halo, row0=row0, ny_global=nyg,
+                col0=col0, nx_global=nxg)
             if idxd is None:
                 s2 = dataclasses.replace(
                     s, zwt=wtd, smc=smc, sh2o=sh2o, smcwtd=smcwtd,
@@ -506,14 +529,15 @@ class LandModel:
 
         if shard is not None:
             # multi-host: MMF runs per STEPWTD from step(), with the
-            # edge-row WTD halo exchanged through the KV store — only
-            # the stencil's 1-row dependency crosses hosts; the column
-            # step itself stays communication-free
+            # WTD edge strips exchanged through the KV store — only
+            # the stencil's 1-cell ring dependency crosses hosts; the
+            # column step itself stays communication-free
             def full_wtd_edges(s):
                 w = (s.zwt if idxd is None
                      else tmpl["zwt"].at[idx_auth].set(s.zwt[rp]))
                 w2 = w.reshape(shape)
-                return jnp.stack([w2[0], w2[-1]])
+                return (jnp.stack([w2[0], w2[-1]]),        # rows
+                        jnp.stack([w2[:, 0], w2[:, -1]]))  # cols
 
             self._edge_fn = jax.jit(full_wtd_edges)
             self._wtd_fn = jax.jit(
@@ -711,17 +735,11 @@ class LandModel:
             self.params, self.state, forcing, self.masks, self.accum,
             self.mmf, jnp.asarray(self.itime, jnp.int32))
 
-        # multi-host MMF: exchange the 1-row WTD halo through the KV
-        # store, then run the jitted stencil+UPDATEWTD on this block
+        # multi-host MMF: exchange the WTD ring through the KV store,
+        # then run the jitted stencil+UPDATEWTD on this block
         if (self.cfg.opt_run == 5 and self._shard is not None
                 and (self.itime + 1) % self.stepwtd == 0):
-            from ..grid import multihost as mh
-            edges = np.asarray(self._edge_fn(self.state))
-            above, below = mh.exchange_edge_rows(
-                f"mmf/{self.itime}", edges[0], edges[1])
-            self.state, self.mmf = self._wtd_fn(
-                self.state, self.mmf,
-                jnp.asarray(np.stack([above, below])))
+            self._exchange_wtd(f"mmf/{self.itime}")
 
         # conservation guard (reference ERROR aborts every step,
         # module_sf_noahmplsm.F90:1164-1223; here a fused device-side
@@ -752,6 +770,19 @@ class LandModel:
             print(f"***DATE={self.date}  Timing: {t2 - t0:.3f}s "
                   f"SFLX: {t2 - t1:.3f}s", flush=True)
         return diag
+
+    def _exchange_wtd(self, tag):
+        """Exchange this block's WTD edge strips with its 8 process
+        neighbours through the KV store and run the jitted
+        stencil+UPDATEWTD on the block (multi-host MMF)."""
+        from ..grid import multihost as mh
+        rows, cols = self._edge_fn(self.state)
+        npx, npy = self._pgrid
+        ring = mh.exchange_edges_2d(tag, np.asarray(rows),
+                                    np.asarray(cols), npx, npy)
+        self.state, self.mmf = self._wtd_fn(
+            self.state, self.mmf,
+            {k: jnp.asarray(v) for k, v in ring.items()})
 
     def _check_conservation(self, diag):
         """ERROR (:1106-1228): SW/energy/water closure at the reference
@@ -842,16 +873,10 @@ class LandModel:
         self.date = date
 
         # multi-host MMF: the chunk ends exactly on the STEPWTD
-        # boundary; exchange the 1-row WTD halo and update now
+        # boundary; exchange the WTD ring and update now
         if (self.cfg.opt_run == 5 and self._shard is not None
                 and self.itime % self.stepwtd == 0):
-            from ..grid import multihost as mh
-            edges = np.asarray(self._edge_fn(self.state))
-            above, below = mh.exchange_edge_rows(
-                f"mmf/{self.itime - 1}", edges[0], edges[1])
-            self.state, self.mmf = self._wtd_fn(
-                self.state, self.mmf,
-                jnp.asarray(np.stack([above, below])))
+            self._exchange_wtd(f"mmf/{self.itime - 1}")
 
         # conservation guard: the (3,) max-residual carry covers every
         # step of the chunk; one readback per chunk (this is also the

@@ -28,18 +28,19 @@ FANGLE = 0.45508986  # (:229)
 
 
 def lateralflow(wtd, klat, fdepth, topo, landmask, area, deltat,
-                row0=0, ny_global=None):
+                row0=0, ny_global=None, col0=0, nx_global=None):
     """D8 lateral flow (LATERALFLOW :201-295) on (ny, nx) arrays.
 
     ``klat`` = SATDK(isltyp) * KLATFACTOR(isltyp) per cell.  Returns
     QLAT (m per WTDDT step).  The outermost ring gets QLAT=0, matching
-    the reference's interior-only loop (:254-257).
+    the reference's interior-only loop (:254-262, its+1..ite-2 /
+    jts+1..jte-2 in global coordinates).
 
-    For multi-host row blocks, pass arrays that include the 1-row halo
-    and give ``row0`` (global row index of this block's first row,
-    halo included) and ``ny_global`` so the interior-ring test uses
-    GLOBAL coordinates; the caller slices the halo rows off the result.
-    """
+    For multi-host blocks, pass arrays that include the 1-cell halo
+    and give ``row0``/``col0`` (global indices of this block's first
+    row/col, halo included) and ``ny_global``/``nx_global`` so the
+    interior-ring test uses GLOBAL coordinates; the caller slices the
+    halo ring off the result."""
     deep = wtd < -1.5
     fd = jnp.maximum(fdepth, 1e-6)
     kcell = jnp.where(
@@ -64,9 +65,10 @@ def lateralflow(wtd, klat, fdepth, topo, landmask, area, deltat,
 
     ny, nx = wtd.shape
     nyg = ny if ny_global is None else int(ny_global)
+    nxg = nx if nx_global is None else int(nx_global)
     ii = row0 + jnp.arange(ny)[:, None]
-    jj = jnp.arange(nx)[None, :]
-    interior = (ii >= 1) & (ii <= nyg - 3) & (jj >= 1) & (jj <= nx - 3)
+    jj = col0 + jnp.arange(nx)[None, :]
+    interior = (ii >= 1) & (ii <= nyg - 3) & (jj >= 1) & (jj <= nxg - 3)
     return jnp.where(interior & (landmask > 0), qlat, 0.0)
 
 
@@ -295,20 +297,47 @@ class MMFState(NamedTuple):
     rech_acc: jnp.ndarray
 
 
+def _ring(h, ny, nx, dtype):
+    """Normalize one field's halo to the ring dict
+    {top/bot: (nx+2,), left/right: (ny,)}.  A (2, nx) array is the
+    rows-only legacy format (1-D row partition): left/right are
+    physical domain edges, and the ring corners sit outside the global
+    interior ring, so zeros are exact there."""
+    if isinstance(h, dict):
+        return {k: jnp.asarray(v, dtype) for k, v in h.items()}
+    h = jnp.asarray(h, dtype)
+    z1 = jnp.zeros((1,), dtype)
+    return {"top": jnp.concatenate([z1, h[0], z1]),
+            "bot": jnp.concatenate([z1, h[1], z1]),
+            "left": jnp.zeros((ny,), dtype),
+            "right": jnp.zeros((ny,), dtype)}
+
+
+def _pad_ring(a2, ring):
+    """(ny, nx) block + ring dict -> (ny+2, nx+2) haloed array."""
+    mid = jnp.concatenate([ring["left"][:, None], a2,
+                           ring["right"][:, None]], axis=1)
+    return jnp.concatenate([ring["top"][None], mid,
+                            ring["bot"][None]], axis=0)
+
+
 def wtable_mmf(cfg, p, mmf: MMFState, grid_shape, landmask, smceq, wtd,
                smc, sh2o, smcwtd, deeprech, rech, wtddt_minutes=30.0,
-               halo=None, row0=0, ny_global=None):
+               halo=None, row0=0, ny_global=None, col0=0,
+               nx_global=None):
     """Per-STEPWTD groundwater update (WTABLE_mmf_noahmp :14-198).
 
     All column fields are flat (n,) with n = ny*nx; ``grid_shape`` is
     the static (ny, nx) used for the stencil.
 
-    Multi-host row blocks: ``halo`` is a dict of (2, nx) arrays — row
-    [0] = the global row just above this block, row [1] = just below —
-    for keys wtd/klat/fdepth/topo/lm/area (zeros for missing edges;
-    their contributions are masked by the global interior ring).
-    ``row0``/``ny_global`` place the block in global coordinates.
-    """
+    Multi-host blocks: ``halo`` maps each stencil field
+    (wtd/klat/fdepth/topo/lm/area) to its 1-cell neighbour ring —
+    either the rows-only legacy (2, nx) array (1-D row partition) or
+    a dict {top/bot: (nx+2,) incl. corners, left/right: (ny,)} for a
+    2-D npx x npy process grid (zeros at physical domain edges; those
+    contributions are masked by the global interior ring).
+    ``row0``/``col0`` + ``ny_global``/``nx_global`` place the block in
+    global coordinates."""
     ny, nx = grid_shape
     deltat = wtddt_minutes * 60.0
     dzs = jnp.asarray(cfg.dzs, wtd.dtype)
@@ -323,16 +352,20 @@ def wtable_mmf(cfg, p, mmf: MMFState, grid_shape, landmask, smceq, wtd,
                             mmf.topo.reshape(ny, nx), lm2,
                             mmf.area.reshape(ny, nx), deltat)
     else:
-        pad = lambda a2, h: jnp.concatenate(
-            [h[0][None], a2, h[1][None]], axis=0)
+        dt_ = wtd.dtype
+        pad = lambda a2, h: _pad_ring(a2, _ring(h, ny, nx, dt_))
         qlat2 = lateralflow(
             pad(wtd.reshape(ny, nx), halo["wtd"]),
             pad(klat.reshape(ny, nx), halo["klat"]),
             pad(mmf.fdepth.reshape(ny, nx), halo["fdepth"]),
             pad(mmf.topo.reshape(ny, nx), halo["topo"]),
-            pad(lm2, halo["lm"].astype(lm2.dtype)),
+            pad(lm2.astype(dt_), halo["lm"]),
             pad(mmf.area.reshape(ny, nx), halo["area"]),
-            deltat, row0=row0 - 1, ny_global=ny_global)[1:-1]
+            deltat, row0=row0 - 1,
+            ny_global=ny if ny_global is None else ny_global,
+            col0=col0 - 1,
+            nx_global=nx if nx_global is None else nx_global,
+        )[1:-1, 1:-1]
     qlat = qlat2.reshape(-1)
 
     # river exchange (:114-129)
@@ -425,7 +458,7 @@ def eqsmoisture(cfg, tables, soiltyp):
 def groundwater_init(cfg, tables, soiltyp, vegtyp, isurban, landmask,
                      mmf: MMFState, grid_shape, wtd, smois, sh2o,
                      wtddt_minutes=30.0, halo=None, row0=0,
-                     ny_global=None):
+                     ny_global=None, col0=0, nx_global=None):
     """Equilibrium MMF groundwater initialization
     (GROUNDWATER_INIT, module_sf_noahmpdrv.F90:1286-1471).
 
@@ -472,14 +505,17 @@ def groundwater_init(cfg, tables, soiltyp, vegtyp, isurban, landmask,
         qlat = np.asarray(lateralflow(*args2d, deltat)) \
             .reshape(-1).astype(np.float64)
     else:
-        hs = [jnp.asarray(halo[k], jnp.float32) for k in
-              ("wtd", "klat", "fdepth", "topo", "lm", "area")]
-        padded = [jnp.concatenate(
-            [h[0][None], a.astype(jnp.float32), h[1][None]], axis=0)
-            for a, h in zip(args2d, hs)]
+        padded = [
+            _pad_ring(a.astype(jnp.float32),
+                      _ring(halo[k], ny, nx, jnp.float32))
+            for a, k in zip(args2d, ("wtd", "klat", "fdepth", "topo",
+                                     "lm", "area"))]
         qlat = np.asarray(lateralflow(
             *padded, deltat, row0=row0 - 1,
-            ny_global=ny_global))[1:-1].reshape(-1).astype(np.float64)
+            ny_global=ny if ny_global is None else ny_global,
+            col0=col0 - 1,
+            nx_global=nx if nx_global is None else nx_global,
+        ))[1:-1, 1:-1].reshape(-1).astype(np.float64)
     riverbed = np.asarray(mmf.riverbed, np.float64).reshape(-1)
     eqzwt = np.asarray(mmf.eqzwt, np.float64).reshape(-1)
     rcond = np.where((wtd > riverbed) & (eqzwt > riverbed),

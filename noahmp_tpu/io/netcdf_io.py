@@ -692,7 +692,7 @@ class HistoryWriter:
         self.vegtyp = np.asarray(vegtyp).reshape(ny, nx)
         self.soiltyp = np.asarray(soiltyp).reshape(ny, nx)
         self.water = self.vegtyp == iswater
-        # multi-host: (rank, row0, ny_global) -> per-process shard file
+        # multi-host: (rank, row0, ny_global, col0, nx_global) -> shard file
         # (.pNNNN) with ROW0/GLOBAL_NY attrs for merge_shards
         self.shard = shard
 
@@ -706,6 +706,9 @@ class HistoryWriter:
             if self.shard:
                 nc.ROW0 = int(self.shard[1])
                 nc.GLOBAL_NY = int(self.shard[2])
+                if len(self.shard) > 3:
+                    nc.COL0 = int(self.shard[3])
+                    nc.GLOBAL_NX = int(self.shard[4])
             nc.createDimension("Time", 1)
             nc.createDimension("DateStrLen", 19)
             nc.createDimension("west_east", nx)
@@ -793,12 +796,15 @@ def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None,
     :597-675).  `extras` carries the driver-level 2D fields
     (RESTART_EXTRAS: FPAR/GVFMIN/GVFMAX/SHDMAX, driver :645-649);
     `smceq` the equilibrium soil moisture (SMOISEQ, :661); `shard` the
-    multi-host (rank, row0, ny_global) triple."""
+    multi-host (rank, row0, ny_global, col0, nx_global) tuple."""
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
     with _wfile(path) as nc:
         if shard:
             nc.ROW0 = int(shard[1])
             nc.GLOBAL_NY = int(shard[2])
+            if len(shard) > 3:
+                nc.COL0 = int(shard[3])
+                nc.GLOBAL_NX = int(shard[4])
         nc.createDimension("Time", 1)
         nc.createDimension("DateStrLen", 19)
         nc.createDimension("west_east", nx)

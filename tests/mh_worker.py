@@ -30,6 +30,7 @@ def main():
 
     full = m._expand_tree(m.state)
     np.savez(out, row0=m._shard[1], ny=m.domain.ny, nx=m.domain.nx,
+             col0=(m._shard[3] if len(m._shard) > 3 else 0),
              **{f: np.asarray(getattr(full, f))
                 for f in full.__dataclass_fields__})
     mh.barrier("mh-test-done", 900_000)

@@ -122,11 +122,17 @@ def _single_process(nml, steps):
 
 
 def _assemble(shards, field, ny, nx):
-    rows = sorted(shards, key=lambda s: int(s["row0"]))
-    parts = [s[field].reshape((int(s["ny"]), nx) + s[field].shape[1:])
-             for s in rows]
-    return np.concatenate(parts, axis=0).reshape(
-        (ny * nx,) + parts[0].shape[2:])
+    """Place each process's (ny_blk, nx_blk) block at its global
+    (row0, col0) — handles both 1-D row and 2-D block partitions."""
+    tail = shards[0][field].shape[1:]
+    out = np.zeros((ny, nx) + tail, shards[0][field].dtype)
+    for s in shards:
+        bny, bnx = int(s["ny"]), int(s["nx"])
+        r0 = int(s["row0"])
+        c0 = int(s["col0"]) if "col0" in s else 0
+        out[r0:r0 + bny, c0:c0 + bnx] = \
+            s[field].reshape((bny, bnx) + tail)
+    return out.reshape((ny * nx,) + tail)
 
 
 def test_two_process_matches_single(tmp_path):
@@ -198,9 +204,60 @@ def test_two_process_mmf_halo_matches_single(tmp_path):
             err_msg=f)
 
 
+def test_four_process_2d_blocks_mmf(tmp_path):
+    """4 processes on an 8x8 domain -> a 2x2 process grid
+    (procs_xy minimizes |npx-npy|, the reference's
+    mpp_land_get_nprocsxy): every rank has row AND column neighbours,
+    so the D8 stencil crosses vertical seams, horizontal seams, and
+    the centre corner where all four blocks meet — the diagonal
+    (corner-scalar) halo terms are load-bearing.  Results must match
+    the single-process run exactly."""
+    ny, nx = 8, 8
+    from noahmp_tpu.grid.multihost import procs_xy
+    assert procs_xy(4, ny, nx) == (2, 2)
+
+    mmf_f = tmp_path / "mmf.nc"
+    _write_mmf(mmf_f, ny, nx)
+    nml = _make_case(tmp_path, ny, nx, opt_run=5, mmf_file=mmf_f)
+    steps = 3
+
+    m, ref = _single_process(nml, steps)
+    assert m.cfg.opt_run == 5 and m.mmf is not None
+    shards = _run_workers(tmp_path, nml, steps, nprocs=4)
+
+    for f in ("zwt", "smc", "sh2o", "smcwtd", "tg", "wa"):
+        got = _assemble(shards, f, ny, nx)
+        np.testing.assert_allclose(
+            got, np.asarray(getattr(ref, f)), rtol=0, atol=1e-6,
+            err_msg=f)
+
+    # 4 shards (2x2) merge back to the single-process history file
+    out_shards = sorted((tmp_path / "output").glob("output.*.nc.p*"))
+    assert len(out_shards) >= 4
+    from noahmp_tpu.grid.multihost import merge_shards
+    date_key = out_shards[0].name.split(".nc")[0]
+    group = [p for p in out_shards if p.name.startswith(date_key)]
+    merged = tmp_path / "merged4.nc"
+    merge_shards(group, merged)
+    single = tmp_path / "output" / f"{date_key}.nc"
+    with ncio.open_nc(str(merged)) as a, ncio.open_nc(str(single)) as b:
+        for vname in ("TG", "SOIL_M"):
+            np.testing.assert_array_equal(
+                np.asarray(a.variables[vname][:]),
+                np.asarray(b.variables[vname][:]), err_msg=vname)
+        # ZWT passes through the blocked stencil: XLA vectorizes the
+        # (ny+2, nx+2) padded block differently from the full grid,
+        # so the last f32 ULP can differ — same 1e-6 bound as the
+        # state comparison above
+        np.testing.assert_allclose(
+            np.asarray(a.variables["ZWT"][:]),
+            np.asarray(b.variables["ZWT"][:]), rtol=0, atol=1e-6,
+            err_msg="ZWT")
+
+
 def test_three_process_mmf_middle_rank(tmp_path):
     """3 processes, opt_run=5: the MIDDLE rank has live neighbours on
-    BOTH sides, so exchange_edge_rows' two-sided path and two MMF
+    BOTH sides, so exchange_edges_2d's two-sided row path and two MMF
     stencil seams are exercised (VERDICT r2 item 7b).  Results must
     still match the single-process run."""
     ny, nx = 12, 6
