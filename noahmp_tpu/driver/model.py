@@ -134,6 +134,15 @@ class LandModel:
             self._io_thread.start()
         self._io_queue.put((fn, args))
 
+    def _history_job(self, date, state, diag, accum, forc, mmf):
+        """Runs ON the writer thread: device->host expansion + NetCDF
+        encode both overlap the next chunk's compute (the captured
+        device arrays are immutable, so snapshotting them is free)."""
+        self.history.write(date, self._expand_tree(state),
+                           self._expand_tree(diag),
+                           self._expand_tree(accum),
+                           self._expand_tree(forc), mmf)
+
     def flush_io(self):
         """Block until all queued history/restart writes hit disk."""
         if self._io_queue is not None:
@@ -155,9 +164,20 @@ class LandModel:
 
     def _expand_tree(self, tree, fill=C.UNDEFINED):
         """Scatter a compacted pytree back to full-grid numpy layout
-        (water cells = fill; int fields = 0)."""
+        (water cells = fill; int fields = 0).
+
+        All device->host copies are started asynchronously up front:
+        through the remote-TPU tunnel a blocking per-leaf transfer
+        costs a full round trip each (measured ~2.4 s per ~60-leaf
+        tree), while the batched async path overlaps them."""
+        for x in jtu.tree_leaves(tree):
+            if hasattr(x, "copy_to_host_async"):
+                try:
+                    x.copy_to_host_async()
+                except Exception:
+                    break
         if self.land_idx is None:
-            return tree
+            return jtu.tree_map(np.asarray, tree)
         ndev = self.land_idx.shape[0]
         auth = self.land_idx[self.real_pos]
 
@@ -560,7 +580,16 @@ class LandModel:
         self._core = fused
         return jax.jit(fused)
 
-    def _get_chunk_fn(self, K, has_lai):
+    # per-column forcing fields that genuinely vary within a chunk and
+    # must be shipped as (K, nc) stacks; everything else is derived on
+    # device (psfc/co2air/o2air from sfcprs, julian/yearlen broadcast
+    # from (K,) scalars, FICEOLD from the carry) or rides the step-0
+    # template (qc, pblh, tbot, lat, foln, smceq) — cutting the
+    # host->device bytes per chunk ~2.7x through the remote tunnel
+    _VARY = ("sfctmp", "sfcprs", "uu", "vv", "q2", "soldn", "lwdn",
+             "prcp", "cosz")
+
+    def _get_chunk_fn(self, K, has_lai, shd_const):
         """Jitted K-step on-device chain: ``lax.scan`` over the per-step
         core with host-free carries (VERDICT r2 item 3; the reference's
         whole-run timing loop, module_hrldas_noahmp_driver.F90:309-595,
@@ -578,16 +607,31 @@ class LandModel:
         for the history writer at the chunk boundary."""
         if self._chunk_fns is None:
             self._chunk_fns = {}
-        key = (K, has_lai)
+        key = (K, has_lai, shd_const)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
         core = self._core
+        vary = self._VARY
 
-        def one(params, masks, s, a, mmf, f, it, lai):
+        def one(params, masks, s, a, mmf, v, sc, shd, it, lai, fc):
             tot = s.snice + s.snliq
             fice = jnp.where(tot > 0.0,
                              s.snice / jnp.maximum(tot, 1e-12), 0.0)
-            f = dataclasses.replace(f, ficeold=fice)
+            nc = fc.qc.shape[0]
+            psfc = v["sfcprs"]
+            rep = {k: v[k] for k in vary}
+            rep.update(
+                psfc=psfc,
+                julian=jnp.full((nc,), sc["julian"], fc.julian.dtype),
+                yearlen=jnp.full((nc,), sc["yearlen"],
+                                 fc.yearlen.dtype),
+                # single f32 multiply, bit-identical to the host build
+                co2air=jnp.float32(C.CO2_FRAC) * psfc,
+                o2air=jnp.float32(C.O2_FRAC) * psfc,
+                ficeold=fice)
+            if not shd_const:
+                rep.update(shdfac=shd[0], shdmax=shd[1])
+            f = dataclasses.replace(fc, **rep)
             if has_lai:
                 s = dataclasses.replace(s, lai=lai)
             s, d, a, mmf = core(params, s, f, masks, a, mmf, it)
@@ -595,19 +639,21 @@ class LandModel:
             err = jnp.stack([g(d.errsw), g(d.erreng), g(d.errwat)])
             return s, d, a, mmf, err
 
-        def chunk(params, masks, state, accum, mmf, fstack, itimes,
-                  lais):
-            x0 = jtu.tree_map(lambda x: x[0], (fstack, itimes, lais))
+        def chunk(params, masks, state, accum, mmf, vstack, sstack,
+                  shd, fc, itimes, lais):
+            xs_all = (vstack, sstack, shd, itimes, lais)
+            x0 = jtu.tree_map(lambda x: x[0], xs_all)
             s, d, a, mmf, err = one(params, masks, state, accum, mmf,
-                                    *x0)
+                                    *x0, fc)
 
             def body(carry, xs):
                 s, d, a, mmf, err = carry
-                s, d, a, mmf, e = one(params, masks, s, a, mmf, *xs)
+                s, d, a, mmf, e = one(params, masks, s, a, mmf, *xs,
+                                      fc)
                 return (s, d, a, mmf, jnp.maximum(err, e)), None
 
             if K > 1:
-                xs = jtu.tree_map(lambda x: x[1:], (fstack, itimes, lais))
+                xs = jtu.tree_map(lambda x: x[1:], xs_all)
                 (s, d, a, mmf, err), _ = jax.lax.scan(
                     body, (s, d, a, mmf, err), xs)
             return s, d, a, mmf, err
@@ -627,14 +673,20 @@ class LandModel:
                 self.state, lai=jnp.asarray(lai, jnp.float32))
         return f
 
-    def _forcing_at(self, date, itime):
+    def _forcing_at(self, date, itime, host=False):
         """Forcing for one (date, itime): file read + interp + solar
         geometry (land_driver_exe :321-366).  Returns (Forcing, lai)
         with lai=None when the forcing files carry no LAI — the chunked
         scan feeds lai through the scan xs; the per-step path writes it
         into the state.  FICEOLD here is valid only for the FIRST step
         built from the current state; the scanned body recomputes it
-        from the carry."""
+        from the carry.
+
+        host=True builds the Forcing from numpy arrays (no device
+        traffic): the chunked path stacks K of them host-side and
+        ships one transfer per field, instead of paying a tunnel round
+        trip per field per step, and skips the FICEOLD device readback
+        entirely (the scanned body recomputes it)."""
         dom = self.domain
         n = dom.ny * dom.nx
         cosz, julian = calc_declin(date, dom.xlat, dom.xlong)
@@ -690,26 +742,38 @@ class LandModel:
         # Q2D arrives as mixing ratio; driver converts to specific
         # humidity (module_sf_noahmpdrv.F90:458)
         q2 = q2d / (1.0 + q2d)
+        if host:
+            xp, i32 = np, np.int32
+            asa = lambda x: np.asarray(x, np.float32)
+            fice = np.zeros(tuple(np.shape(self.state.snice)),
+                            np.float32)
+        else:
+            xp, i32 = jnp, jnp.int32
+            asa = lambda x: jnp.asarray(x, f32)
+            fice = self._ficeold()
         return Forcing(
-            sfctmp=jnp.asarray(t2d, f32), sfcprs=jnp.asarray(psfc, f32),
-            psfc=jnp.asarray(psfc, f32), uu=jnp.asarray(u2d, f32),
-            vv=jnp.asarray(v2d, f32), q2=jnp.asarray(q2, f32),
-            qc=jnp.zeros(nc, f32), soldn=jnp.asarray(sw, f32),
-            lwdn=jnp.asarray(lw, f32), prcp=jnp.asarray(prcp, f32),
-            tbot=jnp.asarray(cp(dom.tmn.reshape(n)), f32),
-            pblh=jnp.zeros(nc, f32),
-            cosz=jnp.asarray(cp(cosz.reshape(n)), f32),
-            lat=jnp.asarray(np.deg2rad(cp(dom.xlat.reshape(n))), f32),
-            julian=jnp.full((nc,), julian, f32),
-            yearlen=jnp.full((nc,), yl, jnp.int32),
-            shdfac=jnp.asarray(shdfac, f32),
-            shdmax=jnp.asarray(jnp.broadcast_to(
-                jnp.asarray(shdmax, f32), (nc,))),
-            co2air=jnp.asarray(C.CO2_FRAC * psfc, f32),
-            o2air=jnp.asarray(C.O2_FRAC * psfc, f32),
-            foln=jnp.full((nc,), C.FOLN_DEFAULT, f32),
-            ficeold=self._ficeold(),
-            smceq=jnp.asarray(cp(self.smceq), f32)), lai_out
+            sfctmp=asa(t2d), sfcprs=asa(psfc), psfc=asa(psfc),
+            uu=asa(u2d), vv=asa(v2d), q2=asa(q2),
+            qc=xp.zeros(nc, f32), soldn=asa(sw),
+            lwdn=asa(lw), prcp=asa(prcp),
+            tbot=asa(cp(dom.tmn.reshape(n))),
+            pblh=xp.zeros(nc, f32),
+            cosz=asa(cp(cosz.reshape(n))),
+            lat=asa(np.deg2rad(cp(dom.xlat.reshape(n)))),
+            julian=xp.full((nc,), julian, f32),
+            yearlen=xp.full((nc,), yl, i32),
+            shdfac=asa(shdfac),
+            shdmax=asa(np.broadcast_to(
+                np.asarray(shdmax, np.float32), (nc,))),
+            # single f32 multiply so the chunked path can derive these
+            # on device bit-identically from the shipped sfcprs
+            co2air=asa(np.float32(C.CO2_FRAC)
+                       * np.asarray(psfc, np.float32)),
+            o2air=asa(np.float32(C.O2_FRAC)
+                      * np.asarray(psfc, np.float32)),
+            foln=xp.full((nc,), C.FOLN_DEFAULT, f32),
+            ficeold=fice,
+            smceq=asa(cp(self.smceq))), lai_out
 
     def _ficeold(self):
         """Snow-layer ice fraction from the previous step
@@ -757,12 +821,8 @@ class LandModel:
         # output / restart cadence (:440-592)
         epoch = self.itime * int(self.cfg.dt)
         if self.rs.output_timestep > 0 and epoch % self.rs.output_timestep == 0:
-            self._submit_io(self.history.write, self.date,
-                            self._expand_tree(self.state),
-                            self._expand_tree(diag),
-                            self._expand_tree(self.accum),
-                            self._expand_tree(forcing),
-                            self.mmf)
+            self._submit_io(self._history_job, self.date, self.state,
+                            diag, self.accum, forcing, self.mmf)
         if self.rs.restart_timestep > 0 and epoch % self.rs.restart_timestep == 0:
             self.write_restart(_async=True)
 
@@ -843,7 +903,7 @@ class LandModel:
         fs, lais = [], []
         date = self.date
         for j in range(K):
-            f, lai = self._forcing_at(date, self.itime + j)
+            f, lai = self._forcing_at(date, self.itime + j, host=True)
             fs.append(f)
             lais.append(lai)
             date = geth_newdate(date, dt)
@@ -856,17 +916,34 @@ class LandModel:
                 np.stack([cur if l is None else l for l in lais]))
         else:
             lai_stack = jnp.zeros((K, 1), jnp.float32)
-        fstack = jtu.tree_map(lambda *x: jnp.stack(x), *fs)
+        # one host->device transfer per *varying* field for the whole
+        # chunk; constants ride the step-0 template, scalars ship as
+        # (K,) and broadcast on device
+        vstack = {k: jnp.asarray(np.stack([getattr(f, k) for f in fs]))
+                  for k in self._VARY}
+        sstack = {
+            "julian": jnp.asarray(np.array(
+                [f.julian[0] for f in fs], np.float32)),
+            "yearlen": jnp.asarray(np.array(
+                [f.yearlen[0] for f in fs], np.int32))}
+        shd_const = all(
+            np.array_equal(fs[j].shdfac, fs[0].shdfac)
+            and np.array_equal(fs[j].shdmax, fs[0].shdmax)
+            for j in range(1, K))
+        shd = () if shd_const else (
+            jnp.asarray(np.stack([f.shdfac for f in fs])),
+            jnp.asarray(np.stack([f.shdmax for f in fs])))
+        fc = jtu.tree_map(jnp.asarray, fs[0])
         itimes = jnp.arange(self.itime, self.itime + K, dtype=jnp.int32)
 
         if self.itime == 0:
             self.state = first_step_guess(self.state, fs[0])
 
         t1 = time.perf_counter()
-        cf = self._get_chunk_fn(K, has_lai)
+        cf = self._get_chunk_fn(K, has_lai, shd_const)
         self.state, diag, self.accum, self.mmf, err = cf(
             self.params, self.masks, self.state, self.accum, self.mmf,
-            fstack, itimes, lai_stack)
+            vstack, sstack, shd, fc, itimes, lai_stack)
 
         first_date = self.date
         self.itime += K
@@ -890,12 +967,8 @@ class LandModel:
         epoch = self.itime * dt
         if self.rs.output_timestep > 0 \
                 and epoch % self.rs.output_timestep == 0:
-            self._submit_io(self.history.write, self.date,
-                            self._expand_tree(self.state),
-                            self._expand_tree(diag),
-                            self._expand_tree(self.accum),
-                            self._expand_tree(fs[-1]),
-                            self.mmf)
+            self._submit_io(self._history_job, self.date, self.state,
+                            diag, self.accum, fs[-1], self.mmf)
         if self.rs.restart_timestep > 0 \
                 and epoch % self.rs.restart_timestep == 0:
             self.write_restart(_async=True)
@@ -975,23 +1048,28 @@ class LandModel:
             .replace("_", "T")
         path = Path(self.rs.resdir) / f"restart.{compact}.nc"
         path.parent.mkdir(parents=True, exist_ok=True)
-        args = (str(path), self.cfg, self.date,
-                self._expand_tree(self.state),
-                self._expand_tree(self.accum),
+        # snapshots: the writer thread runs later (device arrays are
+        # immutable, so the expansion can happen on that thread too and
+        # overlap the next chunk's compute)
+        args = (str(path), self.cfg, self.date, self.state, self.accum,
                 self.domain.ny, self.domain.nx)
-        # snapshots: the writer thread runs later
-        mmf_now = self.mmf
         extras = {k: v for k, v in
                   (("FPAR", self.fpar), ("GVFMIN", self.gvfmin),
                    ("GVFMAX", self.gvfmax), ("SHDMAX", self.shdmax_grid))
                   if v is not None}
-        kw = dict(mmf=mmf_now, extras=extras, smceq=self.smceq,
+        kw = dict(mmf=self.mmf, extras=extras, smceq=self.smceq,
                   shard=self._shard)
         if self._shard:
             args = (args[0] + f".p{self._shard[0]:04d}",) + args[1:]
+
+        def job(path_, cfg_, date_, state_, accum_, ny_, nx_, _kw=kw):
+            ncio.write_restart(path_, cfg_, date_,
+                               self._expand_tree(state_),
+                               self._expand_tree(accum_),
+                               ny_, nx_, **_kw)
+
         if _async:
-            self._submit_io(
-                lambda *a, _kw=kw: ncio.write_restart(*a, **_kw), *args)
+            self._submit_io(job, *args)
         else:
-            ncio.write_restart(*args, **kw)
+            job(*args)
         return str(path)

@@ -65,9 +65,9 @@ def radiation_glacier(cfg, tg, sneqvo, sneqv, cosz, qsnow, solad, solai,
     else:
         alb, albsnd, albsni = snowalb_class(qsnow, cfg.dt, albold)
         albold_new = alb
-    day = cosz > 0.0
-    tauss_new = sel(day, tauss_new, tauss)
-    albold_new = sel(day, albold_new, albold)
+    # unlike land ALBEDO (COSZ-gated, :2296), RADIATION_GLACIER ages
+    # the snow "even when sun is not present" (:757-764): TAUSS and
+    # ALBOLD advance every step
 
     fsno = sel(sneqv > 0.0, 1.0, 0.0)
     albsnd = albice * (1.0 - fsno) + albsnd * fsno
@@ -399,7 +399,8 @@ def noahmp_glacier(cfg, p, s: ColumnState, f: Forcing):
     sice_save, sh2o_save = sice, sh2o
     sw = snowwater(cfg, s.isnow, snice, snliq, stc, s.zsnso, dzsnso,
                    sneqv, snowh, sice, sh2o, imelt, f.ficeold, qsnow,
-                   qsnfro, qsnsub, qrain, snowhin, f.sfctmp)
+                   qsnfro, qsnsub, qrain, snowhin, f.sfctmp,
+                   glacier=True)
 
     runsrf = (ponding + sw.ponding1 + sw.ponding2) / dt
     runsrf = runsrf + sel(sw.isnow == 0, sw.qsnbot + qrain,

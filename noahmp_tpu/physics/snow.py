@@ -23,7 +23,12 @@ from .. import constants as C
 from .common import (sanitize, take1, put1, add1, roll_to_front,
                      cumsum_small, sel, band)
 
-DZMIN = (0.025, 0.025, 0.1)  # COMBINE minimum thicknesses (:7105)
+DZMIN = (0.025, 0.025, 0.1)  # COMBINE minimum thicknesses (:7104)
+# the glacier module keeps the pre-"MB: change limit" thresholds
+# (module_sf_noahmp_glacier.F90:2283,2438,2503 and DIVIDE_GLACIER's
+# second-layer split at 0.10): thicker minimum layers, a 0.05 m
+# first-layer/collapse threshold
+DZMIN_GLACIER = (0.045, 0.05, 0.2)
 
 
 # ---------------------------------------------------------------------------
@@ -197,8 +202,9 @@ class SnowPack(NamedTuple):
     ponding2: jnp.ndarray
 
 
-def combine(cfg, pk: SnowPack) -> SnowPack:
-    """Merge thin snow layers (COMBINE :7065-7246)."""
+def combine(cfg, pk: SnowPack, glacier=False) -> SnowPack:
+    """Merge thin snow layers (COMBINE :7065-7246;
+    COMBINE_GLACIER :2400-2520 with its own thresholds)."""
     nsnow = cfg.nsnow
     dz_soil1 = cfg.dzs[0]
     isnow, snice, snliq, stc_sn, dz_sn = (pk.isnow, pk.snice, pk.snliq,
@@ -218,10 +224,13 @@ def combine(cfg, pk: SnowPack) -> SnowPack:
             up = thin & (isnow_old < -1)
             snliq = add1(snliq, j - 1, sel(up, snliq[j], 0.0))
             snice = add1(snice, j - 1, sel(up, snice[j], 0.0))
-            # single thin layer -> layerless snow (:7118-7139)
+            # single thin layer -> layerless snow (:7118-7139);
+            # COMBINE_GLACIER (:2455-2460) has no negative-snice
+            # branch: it always keeps SNEQV=SNICE/SNOWH=DZ
             single = thin & ~(isnow_old < -1)
-            pos = single & (snice[j] >= 0.0)
-            neg = single & (snice[j] < 0.0)
+            pos = single if glacier else single & (snice[j] >= 0.0)
+            neg = (single & False) if glacier \
+                else single & (snice[j] < 0.0)
             ponding1 = sel(pos, ponding1 + snliq[j], ponding1)
             sneqv = sel(pos, snice[j], sel(neg, 0.0, sneqv))
             snowh = sel(pos, dz_sn[j], sel(neg, 0.0, snowh))
@@ -254,8 +263,9 @@ def combine(cfg, pk: SnowPack) -> SnowPack:
     sneqv = sel(multi, zwice + zwliq, sneqv)
     snowh = sel(multi, jnp.sum(sel(act, dz_sn, 0.0)), snowh)
 
-    # total depth below threshold -> layerless (:7177-7183)
-    collapse = multi & (snowh < 0.025)
+    # total depth below threshold -> layerless (:7177-7183;
+    # glacier :2503 keeps 0.05)
+    collapse = multi & (snowh < (0.05 if glacier else 0.025))
     isnow = sel(collapse, 0, isnow)
     sneqv = sel(collapse, zwice, sneqv)
     ponding2 = sel(collapse, ponding2 + zwliq, ponding2)
@@ -265,7 +275,8 @@ def combine(cfg, pk: SnowPack) -> SnowPack:
     isnow_entry = isnow
     mssi = jnp.ones((), jnp.int32)
     exited = isnow >= -1
-    dzmin = jnp.asarray(DZMIN, dz_sn.dtype)
+    dzmin = jnp.asarray(DZMIN_GLACIER if glacier else DZMIN,
+                        dz_sn.dtype)
     for j in range(nsnow):
         top = isnow + nsnow
         examine = (~exited) & (j >= isnow_entry + nsnow)
@@ -312,8 +323,9 @@ def combine(cfg, pk: SnowPack) -> SnowPack:
                     sice, sh2o, ponding1, ponding2)
 
 
-def divide(cfg, pk: SnowPack) -> SnowPack:
-    """Split over-thick layers (DIVIDE :7248-7371)."""
+def divide(cfg, pk: SnowPack, glacier=False) -> SnowPack:
+    """Split over-thick layers (DIVIDE :7248-7371; DIVIDE_GLACIER
+    :2522-2640 splits the second layer at 0.10 m, not 0.20)."""
     nsnow = cfg.nsnow
     isnow = pk.isnow
     top = isnow + nsnow
@@ -351,8 +363,8 @@ def divide(cfg, pk: SnowPack) -> SnowPack:
     swliq = sel(b, put1(put1(swliq, 0, prop2 * swliq[0]), 1, wliqc), swliq)
     tsno = sel(b, put1(tsno, 1, tc), tsno)
 
-    # subdivide second layer (:7329-7342)
-    c = b & (msno <= 2) & (dz[1] > 0.20)
+    # subdivide second layer (:7329-7342; glacier keeps the 0.10 limit)
+    c = b & (msno <= 2) & (dz[1] > (0.10 if glacier else 0.20))
     dtdz = (tsno[0] - tsno[1]) / ((dz[0] + dz[1]) / 2.0)
     dz2h = dz[1] / 2.0
     t3 = tsno[1] - dtdz * dz2h / 2.0
@@ -432,9 +444,11 @@ def compact(cfg, pk: SnowPack, imelt_sn, ficeold, stc_sn_in=None) -> SnowPack:
     return pk._replace(dz_sn=dz_new)
 
 
-def snowfall(cfg, pk: SnowPack, qsnow, snowhin, sfctmp) -> SnowPack:
-    """Accumulate new snowfall; create the first layer at 0.025 m
-    (SNOWFALL :6998-7063)."""
+def snowfall(cfg, pk: SnowPack, qsnow, snowhin, sfctmp,
+             glacier=False) -> SnowPack:
+    """Accumulate new snowfall; create the first layer at 0.025 m —
+    0.05 m on glacier ice (SNOWFALL :6998-7063;
+    SNOWFALL_GLACIER :2283)."""
     dt = cfg.dt
     nsnow = cfg.nsnow
     isnow, snowh, sneqv = pk.isnow, pk.snowh, pk.sneqv
@@ -444,7 +458,7 @@ def snowfall(cfg, pk: SnowPack, qsnow, snowhin, sfctmp) -> SnowPack:
     snowh = sel(shallow, snowh + snowhin * dt, snowh)
     sneqv = sel(shallow, sneqv + qsnow * dt, sneqv)
 
-    newnode = shallow & (snowh >= 0.025)
+    newnode = shallow & (snowh >= (0.05 if glacier else 0.025))
     bot = nsnow - 1
     isnow = sel(newnode, -1, isnow)
     dz_sn = put1(dz_sn, bot, sel(newnode, snowh, dz_sn[bot]))
@@ -572,23 +586,24 @@ class SnowWaterOut(NamedTuple):
 
 def snowwater(cfg, isnow, snice, snliq, stc, zsnso, dzsnso, sneqv,
               snowh, sice, sh2o, imelt, ficeold, qsnow, qsnfro, qsnsub,
-              qrain, snowhin, sfctmp) -> SnowWaterOut:
-    """Snowpack driver (SNOWWATER :6868-6996)."""
+              qrain, snowhin, sfctmp, glacier=False) -> SnowWaterOut:
+    """Snowpack driver (SNOWWATER :6868-6996; glacier=True selects the
+    SNOWWATER_GLACIER layer thresholds, :2180-2265)."""
     nsnow, nsoil = cfg.nsnow, cfg.nsoil
     dt = cfg.dt
     zero = jnp.zeros((), stc.dtype)
     pk = SnowPack(isnow, snice, snliq, stc[:nsnow], dzsnso[:nsnow],
                   sneqv, snowh, sice, sh2o, zero, zero)
 
-    pk = snowfall(cfg, pk, qsnow, snowhin, sfctmp)
+    pk = snowfall(cfg, pk, qsnow, snowhin, sfctmp, glacier=glacier)
 
     multi = pk.isnow < 0
     pc = compact(cfg, pk, imelt[:nsnow], ficeold)
     pk = SnowPack(*[sel(multi, a, b_) for a, b_ in zip(pc, pk)])
-    cb = combine(cfg, pk)
+    cb = combine(cfg, pk, glacier=glacier)
     pk = SnowPack(*[sel(multi, a, b_) for a, b_ in zip(cb, pk)])
     multi = pk.isnow < 0
-    dv = divide(cfg, pk)
+    dv = divide(cfg, pk, glacier=glacier)
     pk = SnowPack(*[sel(multi, a, b_) for a, b_ in zip(dv, pk)])
 
     pk, qsnbot = snowh2o(cfg, pk, qsnfro, qsnsub, qrain)

@@ -617,7 +617,10 @@ def compact_glacier(nsnow, nsoil, dt, imelt, ficeold, st):
                 ddz1 = ddz1 * c5
             ddz2 = -(burden + 0.5 * wx) * math.exp(
                 -0.08 * td - c2 * bi) / eta0
-            if imelt[j] == 1:
+            # a layer created by SNOWFALL_GLACIER after PHASECHANGE has
+            # no IMELT entry (the Fortran array slot is simply never
+            # set this step); treat as 0 like oracles/snow.py
+            if imelt.get(j, 0) == 1:
                 ddz3 = max(0.0, (ficeold[j] - fice)
                            / max(1.0e-6, ficeold[j]))
                 ddz3 = -ddz3 / dt
