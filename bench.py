@@ -90,6 +90,24 @@ def driver_bench(ny=256, nx=256, ndays=4):
     dt = time.perf_counter() - t0
 
     col_steps_per_s = ny * nx * nsteps / dt
+
+    # host<->device bandwidth ceiling: in this environment the TPU sits
+    # behind a remote tunnel (measured ~32 MB/s both ways); the
+    # end-to-end number is bounded by the bytes the production path
+    # MUST move per column-step (raw forcing snapshots up + history +
+    # restart down), not by compute.  Report the measured link and the
+    # implied ceiling so the number is interpretable.
+    import numpy as _np
+    import jax as _jax
+    probe = _np.empty(5 * 1024 * 1024, _np.float32)   # 20 MB
+    t0 = time.perf_counter()
+    _jax.block_until_ready(_jax.device_put(probe))
+    bw = probe.nbytes / (time.perf_counter() - t0)
+    dt_s = 3600.0
+    up_bpcs = 8 * 4 / (10800.0 / dt_s)           # forcing snapshots
+    down_bpcs = (100 * 4) / (86400.0 / dt_s) \
+        + (96 * 4) / (86400.0 / dt_s)            # history + restart
+    ceiling = bw / (up_bpcs + down_bpcs)
     base, note = fortran_baseline()
     print(json.dumps({
         "metric": "driver end-to-end columns*steps/s per chip",
@@ -97,6 +115,107 @@ def driver_bench(ny=256, nx=256, ndays=4):
         "unit": "columns*steps/s",
         "vs_baseline": round(col_steps_per_s / base, 2),
         "baseline_note": note,
+        "link_MBps": round(bw / 1e6, 1),
+        "link_bound_col_steps_per_s": round(ceiling, 1),
+        "link_note": (
+            "end-to-end is host<->device-link-bound in this remote-TPU"
+            " environment: ~19 B/col-step of mandatory traffic (raw"
+            " 3-hourly forcing up; daily ~100-plane history + ~96-plane"
+            " restart down) over the measured link"),
+    }))
+
+
+def multichip_bench():
+    """Scaling-readiness harness (VERDICT r3 next #6): shard the same
+    96-step scan over ALL visible devices via a 1-D column mesh and
+    report per-chip throughput + efficiency vs a single device.
+
+    The column axis is the model's only scaling dimension (SURVEY
+    §5.7); sharding is pure data parallelism with zero per-step
+    collectives, so efficiency measures runtime overhead, not
+    algorithm.  On real multi-chip TPU hardware this is the one
+    command to run; on a CPU mesh (XLA_FLAGS=
+    --xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu) it
+    proves the harness only — numbers are labeled with the platform
+    and MUST NOT be quoted as TPU scaling."""
+    import numpy as np
+    import jax.tree_util as jtu
+    from noahmp_tpu.driver.synthetic import synthetic_grid, synthetic_forcing
+    from noahmp_tpu.grid.driver import grid_step, column_layout, GridMasks
+    from noahmp_tpu.grid.sharding import make_mesh, shard_columns
+
+    devs = jax.devices()
+    ndev = len(devs)
+    platform = devs[0].platform
+    n_per = 65536 if platform in ("tpu", "axon") else 2048
+    nsteps = 96 if platform in ("tpu", "axon") else 8
+    nforc = 8
+
+    def build(n, mesh=None):
+        cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
+        lay = column_layout(cfg, np.asarray(params.vegtyp), masks.land,
+                            masks.glacier,
+                            pad_to=max(1024, n // max(ndev, 1)) if
+                            platform in ("tpu", "axon") else n // 8)
+        srcd = jnp.asarray(lay.src)
+        reorder = lambda tree: jtu.tree_map(
+            lambda x: x[srcd] if getattr(x, "ndim", 0) >= 1
+            and x.shape[0] == n else x, tree)
+        params, state, accum = (reorder(params), reorder(state),
+                                reorder(accum))
+        masks = GridMasks(land=jnp.asarray(lay.land),
+                          glacier=jnp.asarray(lay.glacier))
+        forc = jtu.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[reorder(synthetic_forcing(n, hour=24.0 * h / nforc))
+              for h in range(nforc)])
+        if mesh is not None:
+            params, state, accum, masks, forc = (
+                shard_columns(t, mesh)
+                for t in (params, state, accum, masks, forc))
+
+        def run(params, state, accum, forc_stack):
+            def body(carry, t):
+                s, a = carry
+                f = jtu.tree_map(lambda x: x[t % nforc], forc_stack)
+                s, _, a = grid_step(cfg, params, s, f, masks, a,
+                                    glacier_idx=lay.glacier_start,
+                                    bare_idx=lay.bare_start)
+                return (s, a), ()
+            (s, a), _ = jax.lax.scan(body, (state, accum),
+                                     jnp.arange(nsteps))
+            return s, a
+
+        return jax.jit(run), params, state, accum, forc
+
+    def timed(runj, params, state, accum, forc):
+        s, a = runj(params, state, accum, forc)
+        float(s.tg.sum())
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s, a = runj(params, s, a, forc)
+            float(s.tg.sum())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(*build(n_per))                      # single device
+    mesh = make_mesh(devs)
+    tn = timed(*build(n_per * ndev, mesh))         # weak scaling
+    one = n_per * nsteps / t1
+    per_chip = n_per * ndev * nsteps / tn / ndev
+    print(json.dumps({
+        "metric": f"multichip weak-scaling col*steps/s per device "
+                  f"({platform} x{ndev})",
+        "value": round(per_chip, 1),
+        "unit": "columns*steps/s per device",
+        "single_device": round(one, 1),
+        "efficiency_pct": round(100.0 * per_chip / one, 1),
+        "devices": ndev,
+        "platform": platform,
+        "note": ("data-parallel column sharding, zero per-step "
+                 "collectives; CPU-mesh runs validate the harness "
+                 "only — not TPU scaling numbers"),
     }))
 
 
@@ -153,12 +272,16 @@ def main():
     # trustworthy fence, so the timed region ends with one.
     float(s.tg.sum())
 
-    t0 = time.perf_counter()
-    s, a = runj(params, s, a, forc_stack)
-    float(s.tg.sum())
-    dt = time.perf_counter() - t0
+    # best-of-3: a single repetition cannot distinguish tunnel-latency
+    # noise (~±2% observed between rounds) from a real regression
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, a = runj(params, s, a, forc_stack)
+        float(s.tg.sum())
+        times.append(time.perf_counter() - t0)
 
-    col_steps_per_s = n * nsteps / dt
+    col_steps_per_s = n * nsteps / min(times)
     base, note = fortran_baseline()
     print(json.dumps({
         "metric": "grid-columns*steps/s per chip",
@@ -166,6 +289,10 @@ def main():
         "unit": "columns*steps/s",
         "vs_baseline": round(col_steps_per_s / base, 2),
         "baseline_note": note,
+        "timing": "best of 3 (all: "
+                  + ", ".join(f"{n * nsteps / t:.3g}" for t in times)
+                  + "); layout: padded [veg|bare|glacier] buckets, "
+                    "veg-only canopy solver, static glacier tail",
     }))
 
 
@@ -173,5 +300,7 @@ if __name__ == "__main__":
     import sys
     if "--driver" in sys.argv:
         driver_bench()
+    elif "--multichip" in sys.argv:
+        multichip_bench()
     else:
         main()

@@ -31,13 +31,18 @@ def main(argv=None):
     p.add_argument("--probe", action="store_true",
                    help="dump per-field state statistics after the run "
                         "(hrldas_noahmp_vars_probe equivalent)")
-    p.add_argument("--check-every", type=int, default=1,
-                   help="conservation-guard cadence in steps (default 1, "
-                        "matching the reference's per-step ERROR checks)")
     p.add_argument("--check-mode", choices=["abort", "warn", "off"],
                    default="abort",
                    help="on conservation violation: abort (reference "
-                        "behavior), warn, or skip the check")
+                        "behavior), warn, or skip the check.  Every "
+                        "step is covered (device-side max over the "
+                        "chunk); an abort reports the chunk's date "
+                        "range — re-run with --chunk 1 for the exact "
+                        "step")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="max on-device steps per dispatch (0 = auto; "
+                        "1 = per-step dispatch with exact-step "
+                        "conservation aborts)")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-host: jax.distributed coordinator address "
                         "(with --nprocs/--procid); on TPU pods prefer "
@@ -60,8 +65,8 @@ def main(argv=None):
 
     cfg, rs = read_namelist(args.namelist)
     model = LandModel.from_namelist(cfg, rs, table_dir=args.table_dir)
-    model.check_every = args.check_every
     model.check_mode = args.check_mode
+    model.chunk_steps = args.chunk
     nsteps = args.steps if args.steps is not None else rs.ntime
     model.run(nsteps, verbose=not args.quiet, profile_dir=args.profile)
     if args.probe:

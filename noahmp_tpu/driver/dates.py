@@ -49,6 +49,33 @@ def yearlen(year: int) -> int:
     return 365
 
 
+def declin_scalars(nowdate: str):
+    """Per-step scalar half of CALC_DECLIN (:813-863): solar
+    declination sin/cos, fractional julian day, and UTC hour-of-day.
+
+    The per-column half (local hour angle from longitude, cosz from
+    latitude) runs ON DEVICE in the chunked driver: cosz =
+    sinlat*sindecl + coslat*cosdecl*cos(hrang) with hrang =
+    15*(mod(gmt + lon/15 + 24, 24) - 12)*degrad, using device-resident
+    sin(lat)/cos(lat)/lon15.  Returns float32 (sindecl, cosdecl,
+    julian, gmt)."""
+    degrad = 3.14159265 / 180.0
+    dpd = 360.0 / 365.0
+    d = parse_date(nowdate)
+    iday = (d.date() - _dt.date(d.year, 1, 1)).days
+    julian = float(iday) + d.hour / 24.0
+    obecl = 23.5 * degrad
+    sinob = np.sin(obecl)
+    if julian >= 80.0:
+        sxlong = dpd * (julian - 80.0) * degrad
+    else:
+        sxlong = dpd * (julian + 285.0) * degrad
+    declin = np.arcsin(sinob * np.sin(sxlong))
+    gmt = d.hour + d.minute / 60.0 + d.second / 3600.0
+    return (np.float32(np.sin(declin)), np.float32(np.cos(declin)),
+            np.float32(julian), np.float32(gmt))
+
+
 def calc_declin(nowdate: str, latitude, longitude):
     """Cosine solar zenith + fractional julian day (CALC_DECLIN
     :813-863): fixed 23.5-degree obliquity, local solar hour angle.

@@ -30,7 +30,7 @@ from ..grid.driver import (GridMasks, GridAccum, classify, grid_step,
                            first_step_guess)
 from ..grid.lateral import (MMFState, wtable_mmf, eqsmoisture,
                             groundwater_init)
-from .dates import calc_declin, geth_newdate, parse_date, yearlen
+from .dates import declin_scalars, geth_newdate, parse_date, yearlen
 from .init import cold_start
 from .namelist import RunSettings
 from ..io import netcdf_io as ncio
@@ -76,7 +76,6 @@ class LandModel:
                                      # index (padding duplicates), or None
     real_pos: np.ndarray = None      # device positions of authoritative
                                      # land columns (see ColumnLayout)
-    check_every: int = 1             # conservation-guard cadence (steps)
     check_mode: str = "abort"        # "abort" | "warn" | "off"
     chunk_steps: int = 0             # on-device steps per dispatch
                                      # (0 = auto, 1 = legacy per-step)
@@ -89,10 +88,14 @@ class LandModel:
     gvfmax: np.ndarray = None
     shdmax_grid: np.ndarray = None
     _warned_shdfac: bool = False
-    _step_fn: object = None
     _core: object = None             # unjitted single-step fn (scan body)
-    _chunk_fns: dict = None          # (K, has_lai) -> jitted chunk scan
-    _errmax_fn: object = None
+    _chunk_fns: dict = None          # (K, n_out, O, flags) -> jitted chunk
+    _geo: dict = None                # device solar-geometry constants
+    _fc_tmpl: object = None          # device Forcing template (constants)
+    _snap_cache: dict = None         # input-boundary idx -> host snapshot
+    _shd_host: tuple = None          # last constant (shdfac, shdmax) host
+    _shd_dev: tuple = None           # ... and their device copies
+    _lai_last: object = None         # last-seen LAI forcing (host, compacted)
     _wtd_fn: object = None
     _land_full: object = None        # full-grid land mask (MMF)
     _params_full: object = None      # full-grid params (MMF)
@@ -137,14 +140,22 @@ class LandModel:
     def _history_job(self, date, state, diag, accum, forc, mmf):
         """Runs ON the writer thread: device->host expansion + NetCDF
         encode both overlap the next chunk's compute (the captured
-        device arrays are immutable, so snapshotting them is free)."""
+        device arrays are immutable, so snapshotting them is free).
+        ``forc`` is either a full Forcing or the small forcing-echo
+        dict (soldn/cosz/lwdn/prcp) the chunked scan emits."""
+        f = self._expand_tree(forc)
+        if isinstance(f, dict):
+            from types import SimpleNamespace
+            f = SimpleNamespace(**f)
         self.history.write(date, self._expand_tree(state),
                            self._expand_tree(diag),
-                           self._expand_tree(accum),
-                           self._expand_tree(forc), mmf)
+                           self._expand_tree(accum), f, mmf)
 
     def flush_io(self):
-        """Block until all queued history/restart writes hit disk."""
+        """Block until all queued history/restart writes hit disk.
+        Mandatory at shutdown when using step()/low-level APIs directly
+        (``run()`` flushes on return): a failed async write only
+        surfaces on the next submit or on this call."""
         if self._io_queue is not None:
             self._io_queue.join()
         if self._io_error is not None:
@@ -174,7 +185,15 @@ class LandModel:
             if hasattr(x, "copy_to_host_async"):
                 try:
                     x.copy_to_host_async()
-                except Exception:
+                except Exception as e:
+                    # expected on backends without async copies; a real
+                    # transfer error resurfaces in np.asarray below —
+                    # log once so it isn't silently masked until then
+                    if not getattr(self, "_warned_async_copy", False):
+                        self._warned_async_copy = True
+                        print(f"WARNING: copy_to_host_async unavailable "
+                              f"({type(e).__name__}: {e}); falling back "
+                              f"to blocking transfers", flush=True)
                     break
         if self.land_idx is None:
             return jtu.tree_map(np.asarray, tree)
@@ -482,24 +501,25 @@ class LandModel:
         # layout (glaciers interleaved or absent)
         gidx = glacier_start if land_idx is not None else "auto"
         bidx = bare_start if land_idx is not None else None
-        m._step_fn = m._build_step_fn(gidx, bidx)
+        m._build_step_fn(gidx, bidx)
         return m
 
     def _build_step_fn(self, gidx, bidx=None):
-        """One fused jitted step: column physics + (opt_run=5) the MMF
-        groundwater update folded in under a ``lax.cond`` keyed on the
-        step counter — no host round-trip per STEPWTD, and the whole
-        step is a single XLA program so the stencil's halo collectives
-        schedule alongside the per-column UPDATEWTD work (SURVEY L10).
-        The compacted<->full-grid moves are device-side gathers/scatters
-        executed only on MMF steps."""
+        """Build the unjitted per-step core (the scan body): column
+        physics + (opt_run=5) the MMF groundwater update folded in
+        under a ``lax.cond`` keyed on the step counter — no host
+        round-trip per STEPWTD, and the whole step is a single XLA
+        program so the stencil's halo collectives schedule alongside
+        the per-column UPDATEWTD work (SURVEY L10).  The compacted<->
+        full-grid moves are device-side gathers/scatters executed only
+        on MMF steps."""
         cfg = self.cfg
         if cfg.opt_run != 5:
             fn = lambda p, s, f, mk, a, mmf, it: grid_step(
                 cfg, p, s, f, mk, a, glacier_idx=gidx,
                 bare_idx=bidx) + (mmf,)
             self._core = fn
-            return jax.jit(fn)
+            return
 
         shape = (self.domain.ny, self.domain.nx)
         stepwtd = self.stepwtd
@@ -567,7 +587,7 @@ class LandModel:
                 cfg, p, s, f, mk, a, glacier_idx=gidx,
                 bare_idx=bidx) + (mmf,)
             self._core = fn
-            return jax.jit(fn)
+            return
 
         def fused(params, state, forcing, masks, accum, mmf, itime):
             s, d, a = grid_step(cfg, params, state, forcing, masks, accum,
@@ -578,258 +598,378 @@ class LandModel:
             return s, d, a, mmf
 
         self._core = fused
-        return jax.jit(fused)
 
-    # per-column forcing fields that genuinely vary within a chunk and
-    # must be shipped as (K, nc) stacks; everything else is derived on
-    # device (psfc/co2air/o2air from sfcprs, julian/yearlen broadcast
-    # from (K,) scalars, FICEOLD from the carry) or rides the step-0
-    # template (qc, pblh, tbot, lat, foln, smceq) — cutting the
-    # host->device bytes per chunk ~2.7x through the remote tunnel
-    _VARY = ("sfctmp", "sfcprs", "uu", "vv", "q2", "soldn", "lwdn",
-             "prcp", "cosz")
+    # ---- on-device forcing -------------------------------------------
+    # The production path ships only the RAW bracketing forcing
+    # snapshots per input_timestep (the reference's lastread/nextread
+    # two-slot buffer, module_hrldas_netcdf_io.F90:1167-1302) plus (K,)
+    # per-step scalars; linear time interpolation, the per-column half
+    # of CALC_DECLIN (driver :813-863), the Q2D mixing-ratio->specific-
+    # humidity conversion (module_sf_noahmpdrv.F90:458) and the CO2/O2
+    # partial pressures are all computed ON DEVICE inside the scanned
+    # body.  At dt=3600/input_timestep=10800 this cuts host->device
+    # bytes ~3.4x vs per-step field stacks (8 fields x K/3+1 snapshots
+    # vs 9 fields x K steps) and removes all per-step host numpy work.
+    _SNAP_INTERP = ("T2D", "Q2D", "PSFC", "U2D", "V2D", "LWDOWN",
+                    "SWDOWN")
+    _DEGRAD = 3.14159265 / 180.0
 
-    def _get_chunk_fn(self, K, has_lai, shd_const):
+    def _snapshot(self, sidx):
+        """Host-side raw forcing snapshot at input-boundary index
+        ``sidx`` (epoch = sidx * input_timestep from the run start),
+        compacted to the land-column axis and cached.  Handles the
+        optional VEGFRA/LAI carry and the hold-last-at-end-of-run
+        semantics of hrldas_input_read (:1369-1403)."""
+        if self._snap_cache is None:
+            self._snap_cache = {}
+        hit = self._snap_cache.get(sidx)
+        if hit is not None:
+            return hit
+        if self.forcing_reader is None:
+            raise ValueError("no forcing source configured (INDIR empty)")
+        itt = self.rs.input_timestep
+        date = geth_newdate(self.rs.start_date, sidx * itt)
+        raw = self.forcing_reader.raw_at(date)
+        if raw is None:
+            prev = self._snap_cache.get(sidx - 1)
+            if prev is None:
+                raise FileNotFoundError(f"no forcing file for {date}")
+            self._snap_cache[sidx] = prev   # hold last at end of run
+            return prev
+        n, cp = self.n_full, self._cp
+        snap = {F: np.asarray(cp(raw[F].reshape(n)), np.float32)
+                for F in self._SNAP_INTERP + ("RAINRATE",)}
+        nc = snap["T2D"].shape[0]
+        # optional vegetation forcing (hrldas_input_read :1238-1255;
+        # VEGFRA -> SHDFAC, LAI replaces the state LAI).  fpar carries
+        # the last-seen VEGFRA across steps and restarts (driver :645
+        # restarts it as FPAR); gvfmin/gvfmax track the annual envelope
+        # when the setup file has no climatology.
+        if "VEGFRA" in raw:
+            self.fpar = np.asarray(raw["VEGFRA"].reshape(n), np.float32)
+            self.gvfmin = (self.fpar.copy() if self.gvfmin is None
+                           else np.minimum(self.gvfmin, self.fpar))
+            self.gvfmax = (self.fpar.copy() if self.gvfmax is None
+                           else np.maximum(self.gvfmax, self.fpar))
+        if self.fpar is not None:
+            shdfac = np.asarray(cp(self.fpar), np.float32)
+        elif self.gvfmax is not None:
+            shdfac = np.asarray(cp(self.gvfmax), np.float32)
+        else:
+            if not self._warned_shdfac:
+                print("WARNING: no VEGFRA forcing and no GVFMIN/"
+                      "GVFMAX in the setup file; using SHDFAC=0.8 "
+                      "(demo default)", flush=True)
+                self._warned_shdfac = True
+            shdfac = np.full(nc, 0.8, np.float32)
+        if self.shdmax_grid is not None:
+            shdmax = np.asarray(cp(self.shdmax_grid), np.float32)
+        elif self.gvfmax is not None:
+            shdmax = np.maximum(cp(self.gvfmax), shdfac)
+        else:
+            shdmax = np.maximum(np.float32(0.9), shdfac)
+        snap["shdfac"] = shdfac
+        snap["shdmax"] = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(shdmax, np.float32), (nc,)))
+        if "LAI" in raw:
+            self._lai_last = np.asarray(cp(raw["LAI"].reshape(n)),
+                                        np.float32)
+        snap["lai"] = self._lai_last    # None until first seen
+        self._snap_cache[sidx] = snap
+        return snap
+
+    def _ensure_device_consts(self):
+        """Device-resident per-column constants shipped ONCE: the
+        CALC_DECLIN per-column terms (sin/cos latitude, longitude/15)
+        and the constant Forcing fields (tbot, lat, foln, smceq, zero
+        qc/pblh)."""
+        if self._geo is not None:
+            return
+        dom, n, cp = self.domain, self.n_full, self._cp
+        lat = np.asarray(cp(dom.xlat.reshape(n)), np.float32)
+        lon = np.asarray(cp(dom.xlong.reshape(n)), np.float32)
+        dg = np.float32(self._DEGRAD)
+        self._geo = {
+            "sinlat": jnp.asarray(np.sin(lat * dg), jnp.float32),
+            "coslat": jnp.asarray(np.cos(lat * dg), jnp.float32),
+            "lon15": jnp.asarray(lon / np.float32(15.0), jnp.float32),
+        }
+        nc = lat.shape[0]
+        z = jnp.zeros(nc, jnp.float32)
+        self._fc_tmpl = Forcing(
+            sfctmp=z, sfcprs=z, psfc=z, uu=z, vv=z, q2=z, qc=z,
+            soldn=z, lwdn=z, prcp=z,
+            tbot=jnp.asarray(cp(dom.tmn.reshape(n)), jnp.float32),
+            pblh=z, cosz=z,
+            lat=jnp.asarray(np.deg2rad(lat), jnp.float32),
+            julian=z, yearlen=jnp.zeros(nc, jnp.int32),
+            shdfac=z, shdmax=z, co2air=z, o2air=z,
+            foln=jnp.full((nc,), C.FOLN_DEFAULT, jnp.float32),
+            ficeold=jnp.zeros((nc, self.cfg.nsnow), jnp.float32),
+            smceq=jnp.asarray(cp(self.smceq), jnp.float32))
+
+    def _plan_chunk(self, maxk):
+        """(K, n_out, O) for the next dispatch: the largest K <= maxk
+        such that restart cadence and (multi-host MMF) the STEPWTD halo
+        exchange land exactly on the chunk boundary.  When the output
+        cadence is shorter than the chunk, history snapshots ride the
+        scan ys instead of capping K: the chunk covers n_out output
+        intervals of O steps each (n_out = 0 means no mid-chunk
+        output)."""
+        dt = int(self.cfg.dt)
+        it = self.itime
+        k = max(int(maxk), 1)
+        rc = self.rs.restart_timestep
+        if rc and rc > 0:
+            for j in range(1, k):
+                if ((it + j) * dt) % rc == 0:
+                    k = j
+                    break
+        if self.cfg.opt_run == 5 and self._shard is not None:
+            # the WTD halo is exchanged host-side after the step where
+            # (itime+1) % stepwtd == 0 — that step must end the chunk
+            k = min(k, self.stepwtd - (it % self.stepwtd))
+        n_out, O = 0, 0
+        oc = self.rs.output_timestep
+        if oc and oc > 0:
+            ocs = max(oc // dt, 1)
+            r = next((j for j in range(1, k)
+                      if ((it + j) * dt) % oc == 0), k)
+            if r < k:
+                if r == ocs and k >= 2 * ocs:
+                    # aligned: integrate multiple output intervals in
+                    # one dispatch, history snapshots through scan ys
+                    n_out, O = k // ocs, ocs
+                    k = n_out * ocs
+                else:
+                    k = r   # realign to the boundary first
+        return max(k, 1), n_out, O
+
+    def _prep_chunk(self, K, n_out, O):
+        """Host-side chunk preparation: read/stack the bracketing raw
+        forcing snapshots, build the (K,) per-step scalars, and submit
+        the (async) host->device transfers.  Needs only the clock —
+        never the device state — so it can overlap the previous chunk's
+        device compute."""
+        self._ensure_device_consts()
+        dt = int(self.cfg.dt)
+        itt = self.rs.input_timestep
+        e0 = self.itime * dt
+        lo_idx = [(e0 + j * dt) // itt for j in range(K)]
+        s_lo, s_hi = lo_idx[0], lo_idx[-1] + 1
+        # prefetch this chunk's files plus lookahead for the next chunk
+        for s in range(s_lo, s_hi + 1 + max((K * dt) // itt, 1)):
+            self.forcing_reader.prefetch_date(
+                geth_newdate(self.rs.start_date, s * itt))
+        snaps_h = [self._snapshot(s) for s in range(s_lo, s_hi + 1)]
+        self._snap_cache = {k2: v for k2, v in self._snap_cache.items()
+                            if k2 >= lo_idx[-1]}
+
+        snaps = {F: jnp.asarray(np.stack([sn[F] for sn in snaps_h]))
+                 for F in self._SNAP_INTERP + ("RAINRATE",)}
+        # SHDFAC/SHDMAX: constant within nearly every chunk (VEGFRA is
+        # an optional, slow forcing) — keep a device copy and reship
+        # only on change; ship (S, nc) stacks when it varies mid-chunk
+        sh0 = snaps_h[0]
+        has_shd = not all(
+            np.array_equal(sn["shdfac"], sh0["shdfac"])
+            and np.array_equal(sn["shdmax"], sh0["shdmax"])
+            for sn in snaps_h[1:])
+        if has_shd:
+            shd = (jnp.asarray(np.stack([sn["shdfac"]
+                                         for sn in snaps_h])),
+                   jnp.asarray(np.stack([sn["shdmax"]
+                                         for sn in snaps_h])))
+        else:
+            if (self._shd_host is None
+                    or not np.array_equal(sh0["shdfac"],
+                                          self._shd_host[0])
+                    or not np.array_equal(sh0["shdmax"],
+                                          self._shd_host[1])):
+                self._shd_host = (sh0["shdfac"], sh0["shdmax"])
+                self._shd_dev = (jnp.asarray(sh0["shdfac"]),
+                                 jnp.asarray(sh0["shdmax"]))
+            shd = self._shd_dev
+        has_lai = any(sn["lai"] is not None for sn in snaps_h)
+        if has_lai:
+            cur = None
+            stack = []
+            for sn in snaps_h:
+                if sn["lai"] is None and cur is None:
+                    cur = np.asarray(self.state.lai, np.float32)
+                stack.append(cur if sn["lai"] is None else sn["lai"])
+            lai = jnp.asarray(np.stack(stack))
+        else:
+            lai = jnp.zeros((0,), jnp.float32)
+
+        w = np.empty(K, np.float32)
+        lor = np.empty(K, np.int32)
+        sind = np.empty(K, np.float32)
+        cosd = np.empty(K, np.float32)
+        jul = np.empty(K, np.float32)
+        gmt = np.empty(K, np.float32)
+        yl = np.empty(K, np.int32)
+        date = self.date
+        for j in range(K):
+            e = e0 + j * dt
+            w[j] = (e - lo_idx[j] * itt) / itt
+            lor[j] = lo_idx[j] - s_lo
+            sind[j], cosd[j], jul[j], gmt[j] = declin_scalars(date)
+            yl[j] = yearlen(parse_date(date).year)
+            date = geth_newdate(date, dt)
+        steps = {
+            "w": jnp.asarray(w), "lo": jnp.asarray(lor),
+            "sindecl": jnp.asarray(sind), "cosdecl": jnp.asarray(cosd),
+            "julian": jnp.asarray(jul), "gmt": jnp.asarray(gmt),
+            "yearlen": jnp.asarray(yl),
+            "itime": jnp.arange(self.itime, self.itime + K,
+                                dtype=jnp.int32)}
+        out_dates = [geth_newdate(self.date, (i + 1) * O * dt)
+                     for i in range(n_out)]
+        return {"K": K, "n_out": n_out, "O": O, "has_shd": has_shd,
+                "has_lai": has_lai,
+                "snaps": snaps, "shd": shd, "lai": lai, "steps": steps,
+                "end_date": date, "out_dates": out_dates,
+                "first_date": self.date, "t0": time.perf_counter()}
+
+    def _get_chunk_fn(self, K, n_out, O, has_shd, has_lai):
         """Jitted K-step on-device chain: ``lax.scan`` over the per-step
-        core with host-free carries (VERDICT r2 item 3; the reference's
-        whole-run timing loop, module_hrldas_noahmp_driver.F90:309-595,
-        dispatches once per step — here one dispatch integrates K steps).
+        core with host-free carries (the reference's whole-run loop,
+        module_hrldas_noahmp_driver.F90:309-595, dispatches once per
+        step — here one dispatch integrates K steps).
 
         Inside the scanned body:
-        - FICEOLD is recomputed from the carried snow state (what
-          ``_ficeold`` does host-side per step), so the pre-built
-          forcing stack never goes stale;
-        - the conservation residuals are max-accumulated device-side
-          into a (3,) carry and read back once per chunk;
+        - the per-step Forcing is DERIVED on device from the raw
+          snapshot stacks (interp/cosz/q2/CO2/O2; see _SNAP_INTERP);
+        - FICEOLD is recomputed from the carried snow state
+          (module_sf_noahmpdrv.F90:516-518);
+        - conservation residuals are max-accumulated into a (3,) carry;
         - (opt_run=5, single host) the MMF groundwater update fires
-          under the same ``lax.cond`` on the carried step counter.
-        The last step's diagnostics ride the carry (one buffer, not K)
-        for the history writer at the chunk boundary."""
+          under a ``lax.cond`` on the carried step counter.
+        With n_out > 0 the chunk is structured as n_out output
+        intervals of O steps; each interval emits its end-of-interval
+        (state, diag, accum, forcing-echo, mmf) as scan ys for the
+        async history writer — so output cadence no longer caps the
+        dispatch granularity."""
         if self._chunk_fns is None:
             self._chunk_fns = {}
-        key = (K, has_lai, shd_const)
+        key = (K, n_out, O, has_shd, has_lai)
         if key in self._chunk_fns:
             return self._chunk_fns[key]
         core = self._core
-        vary = self._VARY
+        degrad = jnp.float32(self._DEGRAD)
 
-        def one(params, masks, s, a, mmf, v, sc, shd, it, lai, fc):
+        def make_forcing(snaps, shd, geo, fc, s, x):
+            idx = lambda A, k: jax.lax.dynamic_index_in_dim(
+                A, k, keepdims=False)
+            wj = x["w"]
+            itp = lambda A: ((1.0 - wj) * idx(A, x["lo"])
+                             + wj * idx(A, x["lo"] + 1))
+            psfc = itp(snaps["PSFC"])
+            q2d = itp(snaps["Q2D"])
+            # local solar hour angle from device-resident lon/lat terms
+            tloc = jnp.mod(x["gmt"] + geo["lon15"] + 24.0, 24.0)
+            hrang = jnp.float32(15.0) * (tloc - jnp.float32(12.0)) \
+                * degrad
+            cosz = (geo["sinlat"] * x["sindecl"]
+                    + geo["coslat"] * x["cosdecl"] * jnp.cos(hrang))
             tot = s.snice + s.snliq
             fice = jnp.where(tot > 0.0,
                              s.snice / jnp.maximum(tot, 1e-12), 0.0)
             nc = fc.qc.shape[0]
-            psfc = v["sfcprs"]
-            rep = {k: v[k] for k in vary}
-            rep.update(
-                psfc=psfc,
-                julian=jnp.full((nc,), sc["julian"], fc.julian.dtype),
-                yearlen=jnp.full((nc,), sc["yearlen"],
+            shdfac, shdmax = ((idx(shd[0], x["lo"]), idx(shd[1], x["lo"]))
+                              if has_shd else shd)
+            return dataclasses.replace(
+                fc,
+                sfctmp=itp(snaps["T2D"]), sfcprs=psfc, psfc=psfc,
+                uu=itp(snaps["U2D"]), vv=itp(snaps["V2D"]),
+                q2=q2d / (1.0 + q2d),
+                soldn=itp(snaps["SWDOWN"]), lwdn=itp(snaps["LWDOWN"]),
+                prcp=idx(snaps["RAINRATE"], x["lo"]),
+                cosz=cosz,
+                julian=jnp.full((nc,), x["julian"], fc.julian.dtype),
+                yearlen=jnp.full((nc,), x["yearlen"],
                                  fc.yearlen.dtype),
-                # single f32 multiply, bit-identical to the host build
+                shdfac=shdfac, shdmax=shdmax,
                 co2air=jnp.float32(C.CO2_FRAC) * psfc,
                 o2air=jnp.float32(C.O2_FRAC) * psfc,
                 ficeold=fice)
-            if not shd_const:
-                rep.update(shdfac=shd[0], shdmax=shd[1])
-            f = dataclasses.replace(fc, **rep)
+
+        def one(params, masks, geo, fc, snaps, shd, lai, s, a, mmf, x):
+            f = make_forcing(snaps, shd, geo, fc, s, x)
+            # first-timestep EAH/TAH/CH/CM guess (driver :374-384) —
+            # a cond on the carried step counter keeps the chunk a
+            # single uniform scan (the K=1 and K=N programs then share
+            # the identical body and stay bit-equal)
+            s = jax.lax.cond(x["itime"] == 0,
+                             lambda s_: first_step_guess(s_, f),
+                             lambda s_: s_, s)
             if has_lai:
-                s = dataclasses.replace(s, lai=lai)
-            s, d, a, mmf = core(params, s, f, masks, a, mmf, it)
+                s = dataclasses.replace(
+                    s, lai=jax.lax.dynamic_index_in_dim(
+                        lai, x["lo"], keepdims=False))
+            s, d, a, mmf = core(params, s, f, masks, a, mmf, x["itime"])
             g = lambda e: jnp.max(jnp.abs(jnp.where(masks.land, e, 0.0)))
             err = jnp.stack([g(d.errsw), g(d.erreng), g(d.errwat)])
-            return s, d, a, mmf, err
+            hf = {"soldn": f.soldn, "cosz": f.cosz, "lwdn": f.lwdn,
+                  "prcp": f.prcp}
+            return s, d, a, mmf, err, hf
 
-        def chunk(params, masks, state, accum, mmf, vstack, sstack,
-                  shd, fc, itimes, lais):
-            xs_all = (vstack, sstack, shd, itimes, lais)
-            x0 = jtu.tree_map(lambda x: x[0], xs_all)
-            s, d, a, mmf, err = one(params, masks, state, accum, mmf,
-                                    *x0, fc)
+        def chunk(params, masks, geo, fc, state, accum, mmf, snaps,
+                  shd, lai, steps):
+            import functools
+            one_ = functools.partial(one, params, masks, geo, fc,
+                                     snaps, shd, lai)
 
-            def body(carry, xs):
-                s, d, a, mmf, err = carry
-                s, d, a, mmf, e = one(params, masks, s, a, mmf, *xs,
-                                      fc)
-                return (s, d, a, mmf, jnp.maximum(err, e)), None
+            def body(carry, x):
+                s, d, a, mmf, err, hf = carry
+                s, d, a, mmf, e, hf = one_(s, a, mmf, x)
+                return (s, d, a, mmf, jnp.maximum(err, e), hf), None
 
-            if K > 1:
-                xs = jtu.tree_map(lambda x: x[1:], xs_all)
-                (s, d, a, mmf, err), _ = jax.lax.scan(
-                    body, (s, d, a, mmf, err), xs)
-            return s, d, a, mmf, err
+            # zero-seed the diag/forcing-echo carry structure (both
+            # are fully overwritten by the first iteration)
+            x0 = jtu.tree_map(lambda v: v[0], steps)
+            sh = jax.eval_shape(
+                lambda s_, a_, m_, x_: (
+                    lambda r: (r[1], r[5]))(one_(s_, a_, m_, x_)),
+                state, accum, mmf, x0)
+            zeros = lambda t: jtu.tree_map(
+                lambda v: jnp.zeros(v.shape, v.dtype), t)
+            d0, hf0 = zeros(sh[0]), zeros(sh[1])
+            carry0 = (state, d0, accum, mmf, jnp.zeros(3, jnp.float32),
+                      hf0)
+            if n_out == 0:
+                (s, d, a, mmf, err, hf), _ = jax.lax.scan(
+                    body, carry0, steps)
+                return s, d, a, mmf, err, hf, ()
+
+            # n_out output intervals of O steps: each emits its
+            # end-of-interval (state, diag, accum, forcing-echo, mmf)
+            # as ys for the async history writer
+            xs_o = jtu.tree_map(
+                lambda v: v.reshape((n_out, O) + v.shape[1:]), steps)
+
+            def outer(carry, xs):
+                carry, _ = jax.lax.scan(body, carry, xs)
+                s, d, a, mmf, err, hf = carry
+                return carry, (s, d, a, hf, mmf)
+
+            (s, d, a, mmf, err, hf), ys = jax.lax.scan(
+                outer, carry0, xs_o)
+            return s, d, a, mmf, err, hf, ys
 
         fn = jax.jit(chunk)
         self._chunk_fns[key] = fn
         return fn
 
-
-    # ------------------------------------------------------------------
-    def build_forcing(self) -> Forcing:
-        """Per-step forcing for the legacy per-step path; applies any
-        LAI forcing directly to the model state."""
-        f, lai = self._forcing_at(self.date, self.itime)
-        if lai is not None:
-            self.state = dataclasses.replace(
-                self.state, lai=jnp.asarray(lai, jnp.float32))
-        return f
-
-    def _forcing_at(self, date, itime, host=False):
-        """Forcing for one (date, itime): file read + interp + solar
-        geometry (land_driver_exe :321-366).  Returns (Forcing, lai)
-        with lai=None when the forcing files carry no LAI — the chunked
-        scan feeds lai through the scan xs; the per-step path writes it
-        into the state.  FICEOLD here is valid only for the FIRST step
-        built from the current state; the scanned body recomputes it
-        from the carry.
-
-        host=True builds the Forcing from numpy arrays (no device
-        traffic): the chunked path stacks K of them host-side and
-        ships one transfer per field, instead of paying a tunnel round
-        trip per field per step, and skips the FICEOLD device readback
-        entirely (the scanned body recomputes it)."""
-        dom = self.domain
-        n = dom.ny * dom.nx
-        cosz, julian = calc_declin(date, dom.xlat, dom.xlong)
-        yl = yearlen(parse_date(date).year)
-        f32 = jnp.float32
-        lai_out = None
-
-        cp = self._cp   # full-grid -> compacted land-column gather
-        if self.forcing_reader is not None:
-            epoch = itime * int(self.cfg.dt)
-            raw = self.forcing_reader.read(date, epoch)
-            t2d = cp(raw["T2D"].reshape(n))
-            q2d = cp(raw["Q2D"].reshape(n))
-            psfc = cp(raw["PSFC"].reshape(n))
-            u2d, v2d = cp(raw["U2D"].reshape(n)), cp(raw["V2D"].reshape(n))
-            sw, lw = cp(raw["SWDOWN"].reshape(n)), cp(raw["LWDOWN"].reshape(n))
-            prcp = cp(raw["RAINRATE"].reshape(n))
-            # optional vegetation forcing (hrldas_input_read :1238-1255;
-            # VEGFRA -> SHDFAC, LAI replaces the state LAI).  fpar
-            # carries the last-seen VEGFRA across steps and restarts
-            # (driver :645 restarts it as FPAR); gvfmin/gvfmax track the
-            # annual envelope when the setup file has no climatology.
-            if "VEGFRA" in raw:
-                self.fpar = np.asarray(raw["VEGFRA"].reshape(n), np.float32)
-                self.gvfmin = (self.fpar.copy() if self.gvfmin is None
-                               else np.minimum(self.gvfmin, self.fpar))
-                self.gvfmax = (self.fpar.copy() if self.gvfmax is None
-                               else np.maximum(self.gvfmax, self.fpar))
-            if self.fpar is not None:
-                shdfac = cp(self.fpar)
-            elif self.gvfmax is not None:
-                shdfac = cp(self.gvfmax)
-            else:
-                if not self._warned_shdfac:
-                    print("WARNING: no VEGFRA forcing and no GVFMIN/"
-                          "GVFMAX in the setup file; using SHDFAC=0.8 "
-                          "(demo default)", flush=True)
-                    self._warned_shdfac = True
-                shdfac = np.full(t2d.shape[0], 0.8, np.float32)
-            if self.shdmax_grid is not None:
-                shdmax = cp(self.shdmax_grid)
-            elif self.gvfmax is not None:
-                shdmax = np.maximum(cp(self.gvfmax), shdfac)
-            else:
-                shdmax = np.maximum(np.float32(0.9), shdfac)
-            if "LAI" in raw:
-                lai_out = np.asarray(cp(raw["LAI"].reshape(n)),
-                                     np.float32)
-        else:
-            raise ValueError("no forcing source configured (INDIR empty)")
-
-        nc = t2d.shape[0]   # compacted column count
-        # Q2D arrives as mixing ratio; driver converts to specific
-        # humidity (module_sf_noahmpdrv.F90:458)
-        q2 = q2d / (1.0 + q2d)
-        if host:
-            xp, i32 = np, np.int32
-            asa = lambda x: np.asarray(x, np.float32)
-            fice = np.zeros(tuple(np.shape(self.state.snice)),
-                            np.float32)
-        else:
-            xp, i32 = jnp, jnp.int32
-            asa = lambda x: jnp.asarray(x, f32)
-            fice = self._ficeold()
-        return Forcing(
-            sfctmp=asa(t2d), sfcprs=asa(psfc), psfc=asa(psfc),
-            uu=asa(u2d), vv=asa(v2d), q2=asa(q2),
-            qc=xp.zeros(nc, f32), soldn=asa(sw),
-            lwdn=asa(lw), prcp=asa(prcp),
-            tbot=asa(cp(dom.tmn.reshape(n))),
-            pblh=xp.zeros(nc, f32),
-            cosz=asa(cp(cosz.reshape(n))),
-            lat=asa(np.deg2rad(cp(dom.xlat.reshape(n)))),
-            julian=xp.full((nc,), julian, f32),
-            yearlen=xp.full((nc,), yl, i32),
-            shdfac=asa(shdfac),
-            shdmax=asa(np.broadcast_to(
-                np.asarray(shdmax, np.float32), (nc,))),
-            # single f32 multiply so the chunked path can derive these
-            # on device bit-identically from the shipped sfcprs
-            co2air=asa(np.float32(C.CO2_FRAC)
-                       * np.asarray(psfc, np.float32)),
-            o2air=asa(np.float32(C.O2_FRAC)
-                      * np.asarray(psfc, np.float32)),
-            foln=xp.full((nc,), C.FOLN_DEFAULT, f32),
-            ficeold=fice,
-            smceq=asa(cp(self.smceq))), lai_out
-
-    def _ficeold(self):
-        """Snow-layer ice fraction from the previous step
-        (module_sf_noahmpdrv.F90:516-518)."""
-        s = self.state
-        tot = np.asarray(s.snice) + np.asarray(s.snliq)
-        return jnp.asarray(np.where(tot > 0, np.asarray(s.snice) /
-                                    np.maximum(tot, 1e-12), 0.0),
-                           jnp.float32)
-
     # ------------------------------------------------------------------
     def step(self, verbose=False):
-        """land_driver_exe (:309-595): one model timestep."""
-        t0 = time.perf_counter()
-        forcing = self.build_forcing()
-        if self.itime == 0:
-            self.state = first_step_guess(self.state, forcing)
-
-        t1 = time.perf_counter()
-        # one fused device call: column physics + (opt_run=5) the MMF
-        # groundwater update under a lax.cond on the step counter
-        self.state, diag, self.accum, self.mmf = self._step_fn(
-            self.params, self.state, forcing, self.masks, self.accum,
-            self.mmf, jnp.asarray(self.itime, jnp.int32))
-
-        # multi-host MMF: exchange the WTD ring through the KV store,
-        # then run the jitted stencil+UPDATEWTD on this block
-        if (self.cfg.opt_run == 5 and self._shard is not None
-                and (self.itime + 1) % self.stepwtd == 0):
-            self._exchange_wtd(f"mmf/{self.itime}")
-
-        # conservation guard (reference ERROR aborts every step,
-        # module_sf_noahmplsm.F90:1164-1223; here a fused device-side
-        # max-reduction every check_every steps, then one tiny readback)
-        if (self.check_mode != "off"
-                and (self.itime + 1) % max(self.check_every, 1) == 0):
-            self._check_conservation(diag)
-
-        jax.block_until_ready(self.state.tg)
-        t2 = time.perf_counter()
-
-        self.itime += 1
-        self.date = geth_newdate(self.date, int(self.cfg.dt))
-
-        # output / restart cadence (:440-592)
-        epoch = self.itime * int(self.cfg.dt)
-        if self.rs.output_timestep > 0 and epoch % self.rs.output_timestep == 0:
-            self._submit_io(self._history_job, self.date, self.state,
-                            diag, self.accum, forcing, self.mmf)
-        if self.rs.restart_timestep > 0 and epoch % self.rs.restart_timestep == 0:
-            self.write_restart(_async=True)
-
-        if verbose:
-            print(f"***DATE={self.date}  Timing: {t2 - t0:.3f}s "
-                  f"SFLX: {t2 - t1:.3f}s", flush=True)
-        return diag
+        """land_driver_exe (:309-595): one model timestep (a K=1
+        chunk — same code path as the scan, so per-step and chunked
+        runs are bit-identical by construction)."""
+        prep = self._prep_chunk(1, 0, 0)
+        out = self._dispatch_chunk(prep)
+        return self._finish_chunk(prep, out, verbose=verbose)
 
     def _exchange_wtd(self, tag):
         """Exchange this block's WTD edge strips with its 8 process
@@ -844,18 +984,9 @@ class LandModel:
             self.state, self.mmf,
             {k: jnp.asarray(v) for k, v in ring.items()})
 
-    def _check_conservation(self, diag):
+    def _raise_conservation(self, esw, een, ewa, where):
         """ERROR (:1106-1228): SW/energy/water closure at the reference
         tolerances over land columns; abort or warn per check_mode."""
-        if self._errmax_fn is None:
-            def errmax(d, land):
-                g = lambda e: jnp.max(jnp.abs(jnp.where(land, e, 0.0)))
-                return g(d.errsw), g(d.erreng), g(d.errwat)
-            self._errmax_fn = jax.jit(errmax)
-        esw, een, ewa = self._errmax_fn(diag, self.masks.land)
-        self._raise_conservation(esw, een, ewa, self.date)
-
-    def _raise_conservation(self, esw, een, ewa, where):
         esw, een, ewa = float(esw), float(een), float(ewa)
         msgs = []
         if esw > SW_TOL:
@@ -875,108 +1006,71 @@ class LandModel:
     # -- chunked time loop ----------------------------------------------
     DEFAULT_CHUNK = 24   # device steps per dispatch when nothing caps it
 
-    def _next_chunk_len(self, maxk):
-        """Largest K ≤ maxk such that steps itime..itime+K-1 need no
-        host interaction mid-chunk: output/restart cadences and (multi-
-        host MMF) the STEPWTD halo exchange must land exactly on the
-        chunk boundary."""
+    def _dispatch_chunk(self, prep):
+        """Launch one prepared chunk on the device (async) and advance
+        the host clock.  The returned handles are consumed by
+        _finish_chunk; between the two, the host is free to prepare the
+        next chunk (file reads + transfers overlap device compute)."""
+        cf = self._get_chunk_fn(prep["K"], prep["n_out"], prep["O"],
+                                prep["has_shd"], prep["has_lai"])
+        out = cf(self.params, self.masks, self._geo, self._fc_tmpl,
+                 self.state, self.accum, self.mmf, prep["snaps"],
+                 prep["shd"], prep["lai"], prep["steps"])
+        self.state, self.accum, self.mmf = out[0], out[2], out[3]
+        self.itime += prep["K"]
+        self.date = prep["end_date"]
+        prep["end_itime"] = self.itime
+        return out
+
+    def _finish_chunk(self, prep, out, verbose=False):
+        """Synchronize on a dispatched chunk: multi-host MMF halo
+        exchange, conservation check (one (3,) readback — also the
+        timing fence), history/restart submission to the writer
+        thread."""
+        s, d, a, mmf, err, hf, ys = out
         dt = int(self.cfg.dt)
-        it = self.itime
-        k = maxk
-        for cad in (self.rs.output_timestep, self.rs.restart_timestep):
-            if cad and cad > 0:
-                for j in range(1, k):
-                    if ((it + j) * dt) % cad == 0:
-                        k = j
-                        break
-        if self.cfg.opt_run == 5 and self._shard is not None:
-            # the WTD halo is exchanged host-side after the step where
-            # (itime+1) % stepwtd == 0 — that step must end the chunk
-            k = min(k, self.stepwtd - (it % self.stepwtd))
-        return max(k, 1)
-
-    def _run_chunk(self, K, verbose=False):
-        """Integrate K steps in one on-device scan (K already aligned
-        by _next_chunk_len)."""
-        t0 = time.perf_counter()
-        dt = int(self.cfg.dt)
-        fs, lais = [], []
-        date = self.date
-        for j in range(K):
-            f, lai = self._forcing_at(date, self.itime + j, host=True)
-            fs.append(f)
-            lais.append(lai)
-            date = geth_newdate(date, dt)
-        has_lai = any(l is not None for l in lais)
-        if has_lai:
-            # the reader carries LAI forward once seen; only leading
-            # entries of the very first chunk can be None
-            cur = np.asarray(self.state.lai, np.float32)
-            lai_stack = jnp.asarray(
-                np.stack([cur if l is None else l for l in lais]))
-        else:
-            lai_stack = jnp.zeros((K, 1), jnp.float32)
-        # one host->device transfer per *varying* field for the whole
-        # chunk; constants ride the step-0 template, scalars ship as
-        # (K,) and broadcast on device
-        vstack = {k: jnp.asarray(np.stack([getattr(f, k) for f in fs]))
-                  for k in self._VARY}
-        sstack = {
-            "julian": jnp.asarray(np.array(
-                [f.julian[0] for f in fs], np.float32)),
-            "yearlen": jnp.asarray(np.array(
-                [f.yearlen[0] for f in fs], np.int32))}
-        shd_const = all(
-            np.array_equal(fs[j].shdfac, fs[0].shdfac)
-            and np.array_equal(fs[j].shdmax, fs[0].shdmax)
-            for j in range(1, K))
-        shd = () if shd_const else (
-            jnp.asarray(np.stack([f.shdfac for f in fs])),
-            jnp.asarray(np.stack([f.shdmax for f in fs])))
-        fc = jtu.tree_map(jnp.asarray, fs[0])
-        itimes = jnp.arange(self.itime, self.itime + K, dtype=jnp.int32)
-
-        if self.itime == 0:
-            self.state = first_step_guess(self.state, fs[0])
-
-        t1 = time.perf_counter()
-        cf = self._get_chunk_fn(K, has_lai, shd_const)
-        self.state, diag, self.accum, self.mmf, err = cf(
-            self.params, self.masks, self.state, self.accum, self.mmf,
-            vstack, sstack, shd, fc, itimes, lai_stack)
-
-        first_date = self.date
-        self.itime += K
-        self.date = date
+        K, n_out = prep["K"], prep["n_out"]
 
         # multi-host MMF: the chunk ends exactly on the STEPWTD
-        # boundary; exchange the WTD ring and update now
+        # boundary; exchange the WTD ring and update now (this path
+        # runs unpipelined, so self.state is this chunk's end state)
         if (self.cfg.opt_run == 5 and self._shard is not None
-                and self.itime % self.stepwtd == 0):
-            self._exchange_wtd(f"mmf/{self.itime - 1}")
+                and prep["end_itime"] % self.stepwtd == 0):
+            self._exchange_wtd(f"mmf/{prep['end_itime'] - 1}")
+            s, a = self.state, self.accum   # post-exchange handles
 
-        # conservation guard: the (3,) max-residual carry covers every
-        # step of the chunk; one readback per chunk (this is also the
-        # timing fence)
         err = np.asarray(err)
         if self.check_mode != "off":
-            self._raise_conservation(err[0], err[1], err[2],
-                                     f"{first_date}..{self.date}")
+            where = (prep["first_date"] if K == 1
+                     else f"{prep['first_date']}..{prep['end_date']}")
+            self._raise_conservation(err[0], err[1], err[2], where)
         t2 = time.perf_counter()
 
-        epoch = self.itime * dt
-        if self.rs.output_timestep > 0 \
-                and epoch % self.rs.output_timestep == 0:
-            self._submit_io(self._history_job, self.date, self.state,
-                            diag, self.accum, fs[-1], self.mmf)
+        if n_out:
+            for i, dte in enumerate(prep["out_dates"]):
+                sl = jtu.tree_map(lambda v, _i=i: v[_i], ys)
+                self._submit_io(self._history_job, dte, sl[0], sl[1],
+                                sl[2], sl[3], sl[4])
+        else:
+            epoch = prep["end_itime"] * dt
+            if self.rs.output_timestep > 0 \
+                    and epoch % self.rs.output_timestep == 0:
+                self._submit_io(self._history_job, prep["end_date"],
+                                s, d, a, hf,
+                                mmf if self._shard is None else self.mmf)
+        epoch = prep["end_itime"] * dt
         if self.rs.restart_timestep > 0 \
                 and epoch % self.rs.restart_timestep == 0:
-            self.write_restart(_async=True)
+            self.write_restart(
+                _async=True,
+                _snapshot=(prep["end_date"], s, a,
+                           mmf if self._shard is None else self.mmf))
         if verbose:
-            print(f"***DATE={self.date}  Timing: {t2 - t0:.3f}s "
-                  f"SFLX: {t2 - t1:.3f}s ({K} steps/dispatch)",
+            print(f"***DATE={prep['end_date']}  "
+                  f"Timing: {t2 - prep['t0']:.3f}s "
+                  f"({K} steps/dispatch, {n_out} history snapshots)",
                   flush=True)
-        return diag
+        return d
 
     def run(self, nsteps=None, verbose=False, profile_dir=None,
             chunk=None):
@@ -986,10 +1080,12 @@ class LandModel:
         module_hrldas_noahmp_driver.F90:46-53, :580-585).
 
         chunk: max on-device steps per dispatch (None = the model's
-        chunk_steps field; 0 = auto; 1 = legacy per-step dispatch).
-        The chunked path accumulates the conservation residuals
-        device-side and checks them once per chunk, so an abort
-        reports a chunk-sized date range rather than the exact step."""
+        chunk_steps field; 0 = auto; 1 = per-step dispatch — the same
+        code path with K=1, restoring the reference's exact-step
+        conservation-abort granularity).  The chunked path accumulates
+        the conservation residuals device-side and checks them once
+        per chunk, so an abort reports a chunk-sized date range rather
+        than the exact step; re-run with chunk=1 to localize one."""
         nsteps = nsteps if nsteps is not None else self.rs.ntime
         chunk = self.chunk_steps if chunk is None else chunk
         if chunk == 0:
@@ -1004,20 +1100,33 @@ class LandModel:
         return last
 
     def _run_loop(self, nsteps, chunk, verbose):
+        """Software-pipelined chunk loop: each iteration dispatches
+        chunk i (async device call), then synchronizes on chunk i-1 —
+        so the host-side preparation of chunk i (forcing file reads,
+        snapshot stacking, host->device transfers) overlaps chunk
+        i-1's device compute and writer-thread I/O.  Multi-host MMF
+        runs unpipelined (the WTD halo exchange needs the chunk-end
+        state on the host between chunks)."""
+        chunk = max(int(chunk), 1)
+        pipelined = not (self.cfg.opt_run == 5 and self._shard
+                         is not None)
         last = None
         done = 0
-        while done < nsteps:
-            if chunk <= 1:
-                last = self.step(verbose=verbose)
-                done += 1
-                continue
-            K = self._next_chunk_len(min(chunk, nsteps - done))
-            if K <= 1:
-                last = self.step(verbose=verbose)
-                done += 1
-            else:
-                last = self._run_chunk(K, verbose=verbose)
+        pend = None
+        while done < nsteps or pend is not None:
+            nxt = None
+            if done < nsteps:
+                K, n_out, O = self._plan_chunk(min(chunk,
+                                                   nsteps - done))
+                prep = self._prep_chunk(K, n_out, O)
+                nxt = (prep, self._dispatch_chunk(prep))
                 done += K
+                if not pipelined:
+                    last = self._finish_chunk(*nxt, verbose=verbose)
+                    nxt = None
+            if pend is not None:
+                last = self._finish_chunk(*pend, verbose=verbose)
+            pend = nxt
         return last
 
     def probe(self, file=None):
@@ -1043,21 +1152,29 @@ class LandModel:
                   f"max={sel.max():14.6g} mean={sel.mean():14.6g}",
                   file=out)
 
-    def write_restart(self, _async=False):
-        compact = self.date.replace("-", "").replace(":", "") \
+    def write_restart(self, _async=False, _snapshot=None):
+        """_snapshot=(date, state, accum, mmf) pins a specific chunk's
+        end state (the pipelined loop may have advanced self.state past
+        it by the time the writer thread runs)."""
+        if _snapshot is not None:
+            date, state, accum, mmf = _snapshot
+        else:
+            date, state, accum, mmf = (self.date, self.state,
+                                       self.accum, self.mmf)
+        compact = date.replace("-", "").replace(":", "") \
             .replace("_", "T")
         path = Path(self.rs.resdir) / f"restart.{compact}.nc"
         path.parent.mkdir(parents=True, exist_ok=True)
         # snapshots: the writer thread runs later (device arrays are
         # immutable, so the expansion can happen on that thread too and
         # overlap the next chunk's compute)
-        args = (str(path), self.cfg, self.date, self.state, self.accum,
+        args = (str(path), self.cfg, date, state, accum,
                 self.domain.ny, self.domain.nx)
         extras = {k: v for k, v in
                   (("FPAR", self.fpar), ("GVFMIN", self.gvfmin),
                    ("GVFMAX", self.gvfmax), ("SHDMAX", self.shdmax_grid))
                   if v is not None}
-        kw = dict(mmf=self.mmf, extras=extras, smceq=self.smceq,
+        kw = dict(mmf=mmf, extras=extras, smceq=self.smceq,
                   shard=self._shard)
         if self._shard:
             args = (args[0] + f".p{self._shard[0]:04d}",) + args[1:]

@@ -152,12 +152,14 @@ class ForcingPrefetcher:
     (SURVEY §5.8 double-buffering of the reference's lastread/nextread
     pair, module_hrldas_netcdf_io.F90:1167-1302)."""
 
-    def __init__(self, varnames, per_var_elems):
+    MAX_PENDING = 16   # bound host memory: ~16 decoded snapshots
+
+    def __init__(self, varnames, per_var_elems, max_workers=2):
+        from concurrent.futures import ThreadPoolExecutor
         self.varnames = list(varnames)
         self.per_var_elems = per_var_elems
-        self._thread = None
-        self._result = None
-        self._path = None
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        self._futs = {}    # path -> Future
 
     def _read(self, path):
         if available():
@@ -168,29 +170,17 @@ class ForcingPrefetcher:
         return {v: raw[v].reshape(-1) for v in self.varnames}
 
     def start(self, path):
-        """Kick off an async read of ``path`` (idempotent per path)."""
-        if self._path == str(path) and self._thread is not None:
+        """Kick off an async read of ``path`` (idempotent per path).
+        Multiple paths may be in flight — the chunked driver prefetches
+        a whole chunk's worth of snapshot files ahead."""
+        p = str(path)
+        if p in self._futs or len(self._futs) >= self.MAX_PENDING:
             return
-        self._path = str(path)
-        self._result = None
-
-        def work():
-            try:
-                self._result = self._read(self._path)
-            except Exception as e:  # surfaced on get()
-                self._result = e
-
-        self._thread = threading.Thread(target=work, daemon=True)
-        self._thread.start()
+        self._futs[p] = self._pool.submit(self._read, p)
 
     def get(self, path):
         """Blocking fetch; uses the prefetched buffer when it matches."""
-        if self._path == str(path) and self._thread is not None:
-            self._thread.join()
-            res = self._result
-            self._thread = None
-            self._path = None
-            if isinstance(res, Exception):
-                raise res
-            return res
+        fut = self._futs.pop(str(path), None)
+        if fut is not None:
+            return fut.result()
         return self._read(path)

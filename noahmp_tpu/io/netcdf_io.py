@@ -620,6 +620,25 @@ class ForcingReader:
             pass
         return out
 
+    def raw_at(self, date_str):
+        """Raw (uninterpolated) snapshot for an input_timestep boundary
+        date, or None when the file is missing (end of run — the caller
+        holds the last snapshot, matching read()'s behavior).  Used by
+        the chunked driver path, which ships bracketing snapshots to
+        the device and interpolates there (the reference's
+        lastread/nextread two-slot semantics,
+        module_hrldas_netcdf_io.F90:1167-1302, moved on device)."""
+        p = self._fname(date_str)
+        if not p.exists():
+            return None
+        return self._read_file(p)
+
+    def prefetch_date(self, date_str):
+        """Kick off a background decode of a future snapshot file."""
+        p = self._fname(date_str)
+        if self._prefetch is not None and p.exists():
+            self._prefetch.start(p)
+
     def read(self, date_str, epoch):
         from ..driver.dates import geth_newdate
         it = self.input_timestep

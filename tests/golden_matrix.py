@@ -51,9 +51,14 @@ CONFIGS = {
 }
 
 
-def run_config(overrides):
+def run_config(overrides, perturb_sfctmp=0.0):
     """48-step trajectory for one option combo; returns a dict of
-    final-state arrays (float64 for stable comparison)."""
+    final-state arrays (float64 for stable comparison).
+
+    perturb_sfctmp adds a constant [K] to the air-temperature forcing —
+    used by the sensitivity test to prove the regression net still
+    trips on a real physics-scale change at the cross-machine
+    tolerance."""
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
@@ -73,6 +78,9 @@ def run_config(overrides):
         lambda *xs: jnp.stack(xs),
         *[synthetic_forcing(N_COLS, hour=24.0 * h / nforc,
                             cold=(h >= 4)) for h in range(nforc)])
+    if perturb_sfctmp:
+        forc = dataclasses.replace(
+            forc, sfctmp=forc.sfctmp + jnp.float32(perturb_sfctmp))
 
     def body(carry, t):
         s, a = carry

@@ -454,14 +454,15 @@ def test_conservation_guard_aborts_on_leak(setup_run):
     m = LandModel.from_namelist(cfg, rs)
     m.run(nsteps=2)          # clean steps pass the per-step guard
 
-    inner = m._step_fn
+    inner = m._core
 
     def leaky(p, s, f, mk, a, mmf, it):
         s2, diag, a2, mmf2 = inner(p, s, f, mk, a, mmf, it)
         diag = diag._replace(errwat=diag.errwat + 1.0)
         return s2, diag, a2, mmf2
 
-    m._step_fn = leaky
+    m._core = leaky
+    m._chunk_fns = {}    # drop chunk fns compiled around the old core
     with pytest.raises(ConservationError, match="water budget"):
         m.step()
 
