@@ -49,7 +49,7 @@ def fortran_baseline():
         "where a Fortran toolchain exists — see CI fortran-parity job)")
 
 
-def driver_bench(ny=256, nx=256, ndays=4):
+def driver_bench(ny=256, nx=256, ndays=4, output_secs=86400):
     """End-to-end production path: generate a demo case (domain + init
     + 3-hourly forcing files + namelist) and time `LandModel.run` —
     file reads, forcing interp, chunked on-device scan, conservation
@@ -72,9 +72,12 @@ def driver_bench(ny=256, nx=256, ndays=4):
     demo.write_forcings(str(case / "input"), ny, nx, ndays)
     nml = demo.NAMELIST.format(case=case.resolve(), ndays=ndays,
                                opt_run=3)
-    # production cadences: daily history + daily restart
+    # production cadences: daily restart; history per output_secs
+    # (default daily; --hourly measures the reference's canonical
+    # OUTPUT_TIMESTEP=3600, where the chunked scan emits per-step
+    # history snapshots through ys instead of collapsing to K=1)
     nml = nml.replace("OUTPUT_TIMESTEP = 10800",
-                      "OUTPUT_TIMESTEP = 86400")
+                      f"OUTPUT_TIMESTEP = {output_secs}")
     (case / "noahmp.namelist").write_text(nml)
 
     from noahmp_tpu.driver.namelist import read_namelist
@@ -105,7 +108,7 @@ def driver_bench(ny=256, nx=256, ndays=4):
     bw = probe.nbytes / (time.perf_counter() - t0)
     dt_s = 3600.0
     up_bpcs = 8 * 4 / (10800.0 / dt_s)           # forcing snapshots
-    down_bpcs = (100 * 4) / (86400.0 / dt_s) \
+    down_bpcs = (100 * 4) / (output_secs / dt_s) \
         + (96 * 4) / (86400.0 / dt_s)            # history + restart
     ceiling = bw / (up_bpcs + down_bpcs)
     base, note = fortran_baseline()
@@ -299,7 +302,8 @@ def main():
 if __name__ == "__main__":
     import sys
     if "--driver" in sys.argv:
-        driver_bench()
+        driver_bench(output_secs=(3600 if "--hourly" in sys.argv
+                                  else 86400))
     elif "--multichip" in sys.argv:
         multichip_bench()
     else:

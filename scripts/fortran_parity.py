@@ -23,9 +23,17 @@ Stages:
   4. run noahmp_tpu.LandModel on the same namelist,
   5. compare every common output.<date> history file and the final
      restart per-variable (max abs divergence over unmasked cells),
-  6. cross-restart: resume LandModel from the FORTRAN-written restart
-     (SURVEY §5.4 cross-validation) and run one more day,
+  6. cross-restart BOTH directions (SURVEY §5.4 cross-validation):
+     (a) resume LandModel from the FORTRAN-written restart and run one
+     more day; (b) point noahmp.exe's namelist RESTART_FILE at the
+     JAX-written restart (the reference reads any nf90_open-able file,
+     module_hrldas_noahmp_driver.F90:180-251) and run it one more day,
   7. write parity table + measured baseline to --out-json.
+
+The whole pipeline (stages 2-7) is exercised compiler-free in the
+test suite against a stand-in oracle (scripts/mock_noahmp_exe.py, see
+tests/test_fortran_parity_harness.py), so a real CI run can only fail
+in stage 1.
 """
 
 import argparse
@@ -110,7 +118,9 @@ def gen_case(workdir: Path, ny, nx, ndays, opt_run):
     (case / "input").mkdir(parents=True, exist_ok=True)
     demo.write_domain(str(case / "domain.nc"), ny, nx)
     demo.write_init(str(case / "init.nc"), ny, nx)
-    demo.write_forcings(str(case / "input"), ny, nx, ndays)
+    # one extra day of forcing so the cross-restart legs (resume at
+    # the final restart stamp, run one more day) have input to read
+    demo.write_forcings(str(case / "input"), ny, nx, ndays + 1)
     return case
 
 
@@ -261,7 +271,7 @@ def main():
             failures += compare_files(f_path, j_path, RESTART_TOL,
                                       f"rst@{stamp}", table)
 
-    # -- cross-restart: resume LandModel from the FORTRAN restart ---------
+    # -- cross-restart (a): resume LandModel from the FORTRAN restart -----
     cross_ok = False
     if frsts:
         from noahmp_tpu.driver.namelist import read_namelist
@@ -277,6 +287,31 @@ def main():
         print(f"cross-restart: resumed from {frsts[-1].name}, "
               f"ran {min(24, nsteps)} steps OK")
 
+    # -- cross-restart (b): noahmp.exe resumes from the JAX restart -------
+    # (module_hrldas_noahmp_driver.F90:180-251 reads RESTART_FILE by
+    # name via hrldas_restart_get; our restart carries the reference
+    # variable names/dims, so the Fortran reader must accept it)
+    fortran_reads_jax = False
+    jrsts = sorted((case / "restart_jax").glob("restart.*"))
+    if jrsts:
+        nml_fx = write_namelist(
+            case, "fxj", args.ndays, args.opt_run,
+            extra=(" RESTART_FILE = '%s'\n from_restart = .true.\n"
+                   % jrsts[-1].resolve()))
+        try:
+            run_fortran(exe, nml_fx, tables,
+                        args.workdir / "fortran_from_jax")
+            fxo = sorted((case / "output_fxj").glob("output.*"))
+            fortran_reads_jax = len(fxo) > 0
+            print(f"fortran-reads-jax-restart: resumed noahmp.exe from "
+                  f"{jrsts[-1].name}, wrote {len(fxo)} history files")
+            if not fortran_reads_jax:
+                failures.append("noahmp.exe resumed from the JAX "
+                                "restart but wrote no history output")
+        except subprocess.CalledProcessError as e:
+            failures.append(f"noahmp.exe failed to resume from the "
+                            f"JAX-written restart {jrsts[-1].name}: {e}")
+
     # -- report -----------------------------------------------------------
     print("\nmax-divergence table (worst over all compared files):")
     for k in sorted(table, key=lambda k: -table[k])[:40]:
@@ -290,6 +325,7 @@ def main():
         "history_files_compared": len(fouts),
         "restart_files_compared": len(frsts),
         "cross_restart_ok": cross_ok,
+        "fortran_reads_jax_restart_ok": fortran_reads_jax,
         "max_divergence": table,
         "failures": failures,
     }
