@@ -103,9 +103,11 @@ def driver_bench(ny=256, nx=256, ndays=4, output_secs=86400):
     import numpy as _np
     import jax as _jax
     probe = _np.empty(5 * 1024 * 1024, _np.float32)   # 20 MB
-    t0 = time.perf_counter()
-    _jax.block_until_ready(_jax.device_put(probe))
-    bw = probe.nbytes / (time.perf_counter() - t0)
+    bw = 0.0
+    for _ in range(3):      # best-of-3: the link is shared and noisy
+        t0 = time.perf_counter()
+        _jax.block_until_ready(_jax.device_put(probe))
+        bw = max(bw, probe.nbytes / (time.perf_counter() - t0))
     dt_s = 3600.0
     up_bpcs = 8 * 4 / (10800.0 / dt_s)           # forcing snapshots
     down_bpcs = (100 * 4) / (output_secs / dt_s) \

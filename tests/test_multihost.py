@@ -300,6 +300,7 @@ def test_three_process_mmf_middle_rank(tmp_path):
             assert _attr_dict(a.variables[vname]) \
                 == _attr_dict(b.variables[vname]), vname
         ga, gb = _attr_dict(a), _attr_dict(b)
-        ga.pop("ROW0", None), ga.pop("GLOBAL_NY", None)
-        gb.pop("ROW0", None), gb.pop("GLOBAL_NY", None)
-        assert set(ga) == set(gb)
+        for k in ("ROW0", "GLOBAL_NY", "COL0", "GLOBAL_NX"):
+            ga.pop(k, None), gb.pop(k, None)
+        # VALUES, not just names: a wrong TITLE/DX must fail
+        assert ga == gb

@@ -187,3 +187,92 @@ def test_biome_bucketing_matches_auto():
             x1, x2 = x1[~bare_cols], x2[~bare_cols]
         np.testing.assert_allclose(x1, x2, rtol=2e-5, atol=1e-4,
                                    err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_landmodel_sharded_production_equivalence(tmp_path):
+    """VERDICT r3 next #5: the FULL production LandModel — cold-start
+    init, the K-step chunked scan with on-device forcing derivation,
+    the per-STEPWTD MMF groundwater update fused into the step
+    (opt_run=5, stepwtd boundary on every step at dt=3600), and the
+    history/restart writers — run with every column-axis array sharded
+    over the 8-device mesh must reproduce the single-device run after
+    48 steps: final state, accumulators, history files, restart
+    files."""
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "examples"))
+    import make_demo_case as demo
+    from noahmp_tpu.driver.namelist import read_namelist
+    from noahmp_tpu.driver.model import LandModel
+    from noahmp_tpu.io import netcdf_io as ncio
+
+    ny = nx = 8
+    case = tmp_path
+    (case / "input").mkdir()
+    demo.write_domain(str(case / "domain.nc"), ny, nx)
+    demo.write_init(str(case / "init.nc"), ny, nx)
+    demo.write_forcings(str(case / "input"), ny, nx, 2)
+    (case / "noahmp.namelist").write_text(
+        demo.NAMELIST.format(case=case.resolve(), ndays=2, opt_run=5))
+
+    def run(tag, shard):
+        cfg, rs = read_namelist(str(case / "noahmp.namelist"))
+        rs.outdir = str(case / f"out_{tag}")
+        rs.resdir = str(case / f"res_{tag}")
+        m = LandModel.from_namelist(cfg, rs)
+        if shard:
+            mesh = make_mesh(jax.devices()[:8])
+            m.params, m.state, m.masks, m.accum = (
+                shard_columns(t, mesh)
+                for t in (m.params, m.state, m.masks, m.accum))
+            assert m.mmf is not None, "opt_run=5 case must carry MMF"
+            m.mmf = shard_columns(m.mmf, mesh)
+        m.run(nsteps=48)
+        m.flush_io()
+        return m
+
+    m1 = run("one", shard=False)
+    m8 = run("shard", shard=True)
+    assert m1.itime == m8.itime == 48 and m1.date == m8.date
+
+    for name in m1.state.__dataclass_fields__:
+        np.testing.assert_allclose(
+            np.asarray(getattr(m8.state, name)),
+            np.asarray(getattr(m1.state, name)),
+            rtol=1e-4, atol=5e-5, err_msg=f"state.{name}")
+    for name in m1.accum._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(m8.accum, name)),
+            np.asarray(getattr(m1.accum, name)),
+            rtol=1e-4, atol=1e-4, err_msg=f"accum.{name}")
+    for name in m1.mmf._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(m8.mmf, name)),
+            np.asarray(getattr(m1.mmf, name)),
+            rtol=1e-4, atol=5e-5, err_msg=f"mmf.{name}")
+
+    outs1 = sorted((case / "out_one").glob("output.*.nc"))
+    outs8 = sorted((case / "out_shard").glob("output.*.nc"))
+    assert outs1 and [p.name for p in outs1] == [p.name for p in outs8]
+    rst1 = sorted((case / "res_one").glob("restart.*.nc"))
+    rst8 = sorted((case / "res_shard").glob("restart.*.nc"))
+    assert rst1 and [p.name for p in rst1] == [p.name for p in rst8]
+    with ncio.open_nc(str(outs1[-1])) as n1, \
+            ncio.open_nc(str(outs8[-1])) as n2:
+        for v in ("TG", "SOIL_M", "ZWT", "FSA", "SFCRNOFF", "QRF",
+                  "QSLAT", "SNEQV"):
+            if v in n1.variables:
+                np.testing.assert_allclose(
+                    np.array(n2.variables[v][:]),
+                    np.array(n1.variables[v][:]),
+                    rtol=1e-4, atol=1e-4, err_msg=v)
+    with ncio.open_nc(str(rst1[-1])) as n1, \
+            ncio.open_nc(str(rst8[-1])) as n2:
+        for v in ("SOIL_T", "SMC", "ZWT", "SNEQV", "SMOISEQ"):
+            if v in n1.variables:
+                np.testing.assert_allclose(
+                    np.array(n2.variables[v][:]),
+                    np.array(n1.variables[v][:]),
+                    rtol=1e-4, atol=1e-4, err_msg=v)
