@@ -114,6 +114,7 @@ class LandModel:
     # expensive device->host transfer still happens on the step thread
     # (numpy conversion in _expand_tree); only file encoding overlaps.
     def _submit_io(self, fn, *args):
+        import os as _os
         import queue as _queue
         import threading as _threading
         if self._io_error is not None:
@@ -133,8 +134,17 @@ class LandModel:
                     finally:
                         self._io_queue.task_done()
 
-            self._io_thread = _threading.Thread(target=drain, daemon=True)
-            self._io_thread.start()
+            # exactly ONE drain thread: libnetcdf (io/nc4.py ctypes
+            # binding) is not thread-safe — concurrent nc_create/
+            # nc_put_var across threads corrupts its global state
+            # (observed: spurious "Not a valid ID" on close).  The
+            # knob exists for builds against a thread-safe NetCDF.
+            nio = max(int(_os.environ.get("NOAHMP_IO_THREADS", "1")), 1)
+            self._io_thread = [
+                _threading.Thread(target=drain, daemon=True)
+                for _ in range(nio)]
+            for t in self._io_thread:
+                t.start()
         self._io_queue.put((fn, args))
 
     def _history_job(self, date, state, diag, accum, forc, mmf):
