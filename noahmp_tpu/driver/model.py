@@ -96,6 +96,11 @@ class LandModel:
     _shd_host: tuple = None          # last constant (shdfac, shdmax) host
     _shd_dev: tuple = None           # ... and their device copies
     _lai_last: object = None         # last-seen LAI forcing (host, compacted)
+    io_procs: int = None             # parallel history-encode worker
+                                     # processes (None = $NOAHMP_IO_PROCS,
+                                     # 0 = encode on the drain thread)
+    _hist_pool: object = None
+    _hist_args: tuple = None
     _wtd_fn: object = None
     _land_full: object = None        # full-grid land mask (MMF)
     _params_full: object = None      # full-grid params (MMF)
@@ -152,14 +157,38 @@ class LandModel:
         encode both overlap the next chunk's compute (the captured
         device arrays are immutable, so snapshotting them is free).
         ``forc`` is either a full Forcing or the small forcing-echo
-        dict (soldn/cosz/lwdn/prcp) the chunked scan emits."""
+        dict (soldn/cosz/lwdn/prcp) the chunked scan emits.
+
+        With io_procs > 0 the encode is handed to a worker-process
+        pool (io/procwriter.py) so N history files deflate
+        concurrently — libnetcdf's thread-unsafety forbids doing that
+        with threads — and this thread goes straight back to
+        transferring the next payload."""
         f = self._expand_tree(forc)
         if isinstance(f, dict):
             from types import SimpleNamespace
             f = SimpleNamespace(**f)
-        self.history.write(date, self._expand_tree(state),
-                           self._expand_tree(diag),
-                           self._expand_tree(accum), f, mmf)
+        ex = (self._expand_tree(state), self._expand_tree(diag),
+              self._expand_tree(accum))
+        pool = self._get_hist_pool()
+        if pool is not None:
+            pool.submit(date, *ex, f.__dict__ if f is not None else None,
+                        None if mmf is None
+                        else jtu.tree_map(np.asarray, mmf))
+        else:
+            self.history.write(date, *ex, f, mmf)
+
+    def _get_hist_pool(self):
+        import os as _os
+        n = self.io_procs
+        if n is None:
+            n = int(_os.environ.get("NOAHMP_IO_PROCS", "0"))
+        if n <= 0:
+            return None
+        if self._hist_pool is None:
+            from ..io.procwriter import ProcHistoryPool
+            self._hist_pool = ProcHistoryPool(self._hist_args, n)
+        return self._hist_pool
 
     def flush_io(self):
         """Block until all queued history/restart writes hit disk.
@@ -168,6 +197,8 @@ class LandModel:
         surfaces on the next submit or on this call."""
         if self._io_queue is not None:
             self._io_queue.join()
+        if self._hist_pool is not None:
+            self._hist_pool.flush()
         if self._io_error is not None:
             err, self._io_error = self._io_error, None
             raise err
@@ -504,9 +535,9 @@ class LandModel:
                  if nproc > 1 else None)
         m._shard = shard
         m._pgrid = pgrid
-        m.history = ncio.HistoryWriter(rs.outdir, cfg, dom.ny, dom.nx,
-                                       vegtyp, soiltyp, dom.iswater,
-                                       shard=shard)
+        m._hist_args = (rs.outdir, cfg, dom.ny, dom.nx, vegtyp,
+                        soiltyp, dom.iswater, shard)
+        m.history = ncio.HistoryWriter(*m._hist_args)
         # static slices when compacted; "auto" on the uncompacted
         # layout (glaciers interleaved or absent)
         gidx = glacier_start if land_idx is not None else "auto"

@@ -1,0 +1,76 @@
+"""Disk cache for scalar-oracle trajectories.
+
+The oracle side of the golden-trajectory tests (tests/oracles/*.py) is
+deterministic double-precision pure Python — the same inputs always
+produce the same outputs, on any machine.  It is also the dominant
+cost of the test suite (multi-day hour loops of transliterated Fortran
+in the interpreter).  Each trajectory's compared fields are therefore
+cached under tests/goldens/local/oracle_cache/, keyed by a hash of
+
+  * every file in tests/oracles/ (any oracle edit invalidates all),
+  * the full input specification (params, options, init state, the
+    per-hour forcing dicts, and the per-hour FICEOLD sequence — which
+    comes from the JAX trajectory, so a physics change that alters
+    snow state also invalidates exactly the affected trajectories).
+
+Cache hits replay the oracle values bit-for-bit; misses compute and
+store.  The directory is gitignored (machine-independent but derived),
+so a cold checkout recomputes once.
+"""
+
+import hashlib
+import json
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+ORACLE_DIR = Path(__file__).parent / "oracles"
+CACHE_DIR = Path(__file__).parent / "goldens" / "local" / "oracle_cache"
+
+_SRC_HASH = None
+
+
+def _src_hash():
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        h = hashlib.sha256()
+        for p in sorted(ORACLE_DIR.glob("*.py")):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def _path(key_obj):
+    blob = json.dumps(key_obj, sort_keys=True, default=float)
+    key = hashlib.sha256(blob.encode()).hexdigest()[:24]
+    return CACHE_DIR / f"{_src_hash()}-{key}.npz"
+
+
+def get(key_obj):
+    """Cached {field: (hours,) float64 array} or None."""
+    f = _path(key_obj)
+    if not f.exists():
+        return None
+    try:
+        z = np.load(f)
+        return {k: z[k] for k in z.files}
+    except Exception:
+        return None     # corrupt/partial file: recompute
+
+
+def put(key_obj, data):
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    f = _path(key_obj)
+    # atomic publish: xdist workers may race on the same trajectory
+    fd, tmp = tempfile.mkstemp(dir=str(CACHE_DIR), suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez_compressed(fh, **{k: np.asarray(v, np.float64)
+                                       for k, v in data.items()})
+        os.replace(tmp, f)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)

@@ -594,3 +594,39 @@ def test_chunked_run_matches_per_step(setup_run):
             np.testing.assert_array_equal(
                 np.array(n1.variables[v][:]),
                 np.array(n2.variables[v][:]), err_msg=v)
+
+
+def test_history_proc_pool_matches_inline(setup_run):
+    """NOAHMP_IO_PROCS: the out-of-process parallel history encode
+    (io/procwriter.py — libnetcdf is thread-unsafe, so parallel encode
+    must cross a process boundary) writes files identical to the
+    in-process writer."""
+    from noahmp_tpu.driver.model import LandModel
+    tmp_path, nml, ny, nx = setup_run
+    cfg, rs = read_namelist(str(nml))
+
+    m1 = LandModel.from_namelist(cfg, rs)
+    m1.run(nsteps=6)
+    m1.flush_io()
+
+    rs2 = read_namelist(str(nml))[1]
+    rs2.outdir = str(tmp_path / "out_pool")
+    m2 = LandModel.from_namelist(cfg, rs2)
+    m2.io_procs = 2
+    m2.run(nsteps=6)
+    m2.flush_io()
+    if m2._hist_pool is not None:
+        m2._hist_pool.close()
+
+    outs1 = sorted((tmp_path / "output").glob("output.*.nc"))
+    outs2 = sorted((tmp_path / "out_pool").glob("output.*.nc"))
+    assert outs1 and [p.name for p in outs1] == [p.name for p in outs2]
+    with ncio.open_nc(str(outs1[-1])) as a, \
+            ncio.open_nc(str(outs2[-1])) as b:
+        assert set(a.variables) == set(b.variables)
+        for v in a.variables:
+            if v == "Times":
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(a.variables[v][:]),
+                np.asarray(b.variables[v][:]), err_msg=v)

@@ -98,60 +98,114 @@ def _ficeold_from(snice, snliq, isnow):
     return out
 
 
+_DIAGS = ("fsa", "fsh", "fira", "fgev", "ssoil", "runsrf", "runsub",
+          "qmelt")
+
+
 def _run_pair(cfg, scenario, hours, tol):
+    """JAX glacier trajectory vs the composed scalar oracle; the oracle
+    side replays from the disk cache (tests/oracle_cache.py) when its
+    sources and every input — including the per-hour FICEOLD sequence
+    taken from the JAX state — are unchanged."""
+    import oracle_cache
+
     p = _params()
     s = _glacier_state(cfg)
-    os_ = _state_to_oracle(s)
+    os0 = _state_to_oracle(s)
     opts = dict(opt_alb=cfg.opt_alb, opt_snf=cfg.opt_snf,
                 opt_stc=cfg.opt_stc, opt_tbot=cfg.opt_tbot)
     zs = {k: ZSOIL[k - 1] for k in range(1, NSOIL + 1)}
 
+    fields = (["tg", "sneqv", "snowh", "isnow", "tauss", "albold"]
+              + [f"{f}{k}" for f in ("stc", "sh2o")
+                 for k in range(1, NSOIL + 1)]
+              + [f"{f}_j{j}" for f in ("snice", "snliq", "stcsn")
+                 for j in range(-NSNOW + 1, 1)]
+              + list(_DIAGS))
+
+    # --- JAX trajectory -------------------------------------------------
     step = jax.jit(lambda s, f: noahmp_glacier(cfg, p, s, f))
-    worst = {}
+    fds, fices, jrows = [], [], []
     for hour in range(hours):
         fd = scenario(hour)
+        fds.append(fd)
         fice = _ficeold_from(np.asarray(s.snice, np.float64),
                              np.asarray(s.snliq, np.float64),
                              int(s.isnow))
+        fices.append([float(x) for x in fice])
         s, d = step(s, _jax_forcing(fd, fice, 1))
+        row = {"tg": float(s.tg), "sneqv": float(s.sneqv),
+               "snowh": float(s.snowh), "isnow": float(s.isnow),
+               "tauss": float(s.tauss), "albold": float(s.albold)}
+        for k in range(1, NSOIL + 1):
+            row[f"stc{k}"] = float(s.stc[k + NSNOW - 1])
+            row[f"sh2o{k}"] = float(s.sh2o[k - 1])
+        for j in range(-NSNOW + 1, 1):
+            k = j + NSNOW - 1
+            row[f"snice_j{j}"] = float(s.snice[k])
+            row[f"snliq_j{j}"] = float(s.snliq[k])
+            row[f"stcsn_j{j}"] = float(s.stc[k])
+        for name in _DIAGS:
+            row[name] = float(getattr(d, name))
+        jrows.append(row)
 
-        fice_d = {j: fice[j + NSNOW - 1] for j in range(-NSNOW + 1, 1)}
-        os_, od = OG.noahmp_glacier(
-            opts, NSNOW, NSOIL, cfg.dt, fd["cosz"], fd["sfctmp"],
-            fd["sfcprs"], fd["uu"], fd["vv"], fd["q2"], fd["soldn"],
-            fd["prcp"], fd["lwdn"], fd["tbot"], cfg.zlvl, fice_d, zs,
-            os_)
+    # --- oracle trajectory (cached) --------------------------------------
+    key = dict(kind="glacier", opts=opts, hours=hours, dt=cfg.dt,
+               zlvl=cfg.zlvl, fds=fds, fices=fices, init=os0, zs=zs,
+               fields=fields)
+    orc = oracle_cache.get(key)
+    if orc is None:
+        os_ = os0
+        rows = []
+        for hour in range(hours):
+            fd = fds[hour]
+            fice_d = {j: fices[hour][j + NSNOW - 1]
+                      for j in range(-NSNOW + 1, 1)}
+            os_, od = OG.noahmp_glacier(
+                opts, NSNOW, NSOIL, cfg.dt, fd["cosz"], fd["sfctmp"],
+                fd["sfcprs"], fd["uu"], fd["vv"], fd["q2"],
+                fd["soldn"], fd["prcp"], fd["lwdn"], fd["tbot"],
+                cfg.zlvl, fice_d, zs, os_)
+            row = {"tg": os_["tg"], "sneqv": os_["sneqv"],
+                   "snowh": os_["snowh"], "isnow": float(os_["isnow"]),
+                   "tauss": os_["tauss"], "albold": os_["albold"]}
+            for k in range(1, NSOIL + 1):
+                row[f"stc{k}"] = os_["stc"][k]
+                row[f"sh2o{k}"] = os_["sh2o"][k]
+            for j in range(-NSNOW + 1, 1):
+                row[f"snice_j{j}"] = os_["snice"][j]
+                row[f"snliq_j{j}"] = os_["snliq"][j]
+                row[f"stcsn_j{j}"] = os_["stc"][j]
+            for name in _DIAGS:
+                row[name] = od[name]
+            rows.append(row)
+        orc = {f: np.array([r[f] for r in rows]) for f in fields}
+        oracle_cache.put(key, orc)
+
+    # --- compare ----------------------------------------------------------
+    worst = {}
+    for hour in range(hours):
+        jr = jrows[hour]
+        isn = int(jr["isnow"])
+        assert isn == int(orc["isnow"][hour]), (
+            f"isnow diverged at hour {hour}: {isn} vs "
+            f"{int(orc['isnow'][hour])}")
 
         def rec(name, got, want):
             dv = abs(got - want)
             if name not in worst or dv > worst[name][0]:
                 worst[name] = (dv, hour, got, want)
 
-        rec("tg", float(s.tg), os_["tg"])
-        rec("sneqv", float(s.sneqv), os_["sneqv"])
-        rec("snowh", float(s.snowh), os_["snowh"])
-        rec("isnow", float(s.isnow), float(os_["isnow"]))
-        rec("tauss", float(s.tauss), os_["tauss"])
-        rec("albold", float(s.albold), os_["albold"])
-        for k in range(1, NSOIL + 1):
-            rec(f"stc{k}", float(s.stc[k + NSNOW - 1]), os_["stc"][k])
-            rec(f"sh2o{k}", float(s.sh2o[k - 1]), os_["sh2o"][k])
-        isn = int(s.isnow)
-        assert isn == os_["isnow"], \
-            f"isnow diverged at hour {hour}: {isn} vs {os_['isnow']}"
-        for j in range(isn + 1, 1):
-            k = j + NSNOW - 1
-            rec(f"snice[{j}]", float(s.snice[k]), os_["snice"][j])
-            rec(f"snliq[{j}]", float(s.snliq[k]), os_["snliq"][j])
-            rec(f"stc_sn[{j}]", float(s.stc[k]), os_["stc"][j])
-        rec("fsa", float(d.fsa), od["fsa"])
-        rec("fsh", float(d.fsh), od["fsh"])
-        rec("fira", float(d.fira), od["fira"])
-        rec("fgev", float(d.fgev), od["fgev"])
-        rec("ssoil", float(d.ssoil), od["ssoil"])
-        rec("runsrf", float(d.runsrf), od["runsrf"])
-        rec("runsub", float(d.runsub), od["runsub"])
-        rec("qmelt", float(d.qmelt), od["qmelt"])
+        for name in fields:
+            if name.startswith(("snice_j", "snliq_j", "stcsn_j")):
+                j = int(name.split("_j")[1])
+                if j < isn + 1:
+                    continue        # inactive snow layer this hour
+                base = {"snice_j": "snice", "snliq_j": "snliq",
+                        "stcsn_j": "stc_sn"}[name.split("_j")[0] + "_j"]
+                rec(f"{base}[{j}]", jr[name], float(orc[name][hour]))
+            else:
+                rec(name, jr[name], float(orc[name][hour]))
 
     failures = []
     for name, (dv, hour, got, want) in sorted(worst.items()):
