@@ -867,11 +867,19 @@ class LandModel:
                                 dtype=jnp.int32)}
         out_dates = [geth_newdate(self.date, (i + 1) * O * dt)
                      for i in range(n_out)]
+        # green-veg restart extras captured NOW: under pipelining the
+        # next chunk's prep may advance fpar/gvf tracking before this
+        # chunk's restart job runs
+        extras = {k: v for k, v in
+                  (("FPAR", self.fpar), ("GVFMIN", self.gvfmin),
+                   ("GVFMAX", self.gvfmax), ("SHDMAX", self.shdmax_grid))
+                  if v is not None}
         return {"K": K, "n_out": n_out, "O": O, "has_shd": has_shd,
                 "has_lai": has_lai,
                 "snaps": snaps, "shd": shd, "lai": lai, "steps": steps,
                 "end_date": date, "out_dates": out_dates,
-                "first_date": self.date, "t0": time.perf_counter()}
+                "first_date": self.date, "extras": extras,
+                "t0": time.perf_counter()}
 
     def _get_chunk_fn(self, K, n_out, O, has_shd, has_lai):
         """Jitted K-step on-device chain: ``lax.scan`` over the per-step
@@ -1105,7 +1113,8 @@ class LandModel:
             self.write_restart(
                 _async=True,
                 _snapshot=(prep["end_date"], s, a,
-                           mmf if self._shard is None else self.mmf))
+                           mmf if self._shard is None else self.mmf,
+                           prep["extras"]))
         if verbose:
             print(f"***DATE={prep['end_date']}  "
                   f"Timing: {t2 - prep['t0']:.3f}s "
@@ -1194,14 +1203,19 @@ class LandModel:
                   file=out)
 
     def write_restart(self, _async=False, _snapshot=None):
-        """_snapshot=(date, state, accum, mmf) pins a specific chunk's
-        end state (the pipelined loop may have advanced self.state past
-        it by the time the writer thread runs)."""
+        """_snapshot=(date, state, accum, mmf, extras) pins a specific
+        chunk's end state (the pipelined loop may have advanced
+        self.state and the fpar/gvf tracking past it by the time the
+        writer thread runs)."""
         if _snapshot is not None:
-            date, state, accum, mmf = _snapshot
+            date, state, accum, mmf, extras = _snapshot
         else:
-            date, state, accum, mmf = (self.date, self.state,
-                                       self.accum, self.mmf)
+            date, state, accum, mmf, extras = (
+                self.date, self.state, self.accum, self.mmf,
+                {k: v for k, v in
+                 (("FPAR", self.fpar), ("GVFMIN", self.gvfmin),
+                  ("GVFMAX", self.gvfmax),
+                  ("SHDMAX", self.shdmax_grid)) if v is not None})
         compact = date.replace("-", "").replace(":", "") \
             .replace("_", "T")
         path = Path(self.rs.resdir) / f"restart.{compact}.nc"
@@ -1211,10 +1225,6 @@ class LandModel:
         # overlap the next chunk's compute)
         args = (str(path), self.cfg, date, state, accum,
                 self.domain.ny, self.domain.nx)
-        extras = {k: v for k, v in
-                  (("FPAR", self.fpar), ("GVFMIN", self.gvfmin),
-                   ("GVFMAX", self.gvfmax), ("SHDMAX", self.shdmax_grid))
-                  if v is not None}
         kw = dict(mmf=mmf, extras=extras, smceq=self.smceq,
                   shard=self._shard)
         if self._shard:
