@@ -150,6 +150,14 @@ class LandModel:
                 for _ in range(nio)]
             for t in self._io_thread:
                 t.start()
+            # the drain threads are daemons: without a shutdown hook a
+            # process exiting right after step() could lose the final
+            # queued write (run() flushes; step()-level callers may not)
+            import atexit
+            import weakref
+            ref = weakref.ref(self)
+            atexit.register(
+                lambda: ref() is not None and ref().flush_io())
         self._io_queue.put((fn, args))
 
     def _history_job(self, date, state, diag, accum, forc, mmf):
