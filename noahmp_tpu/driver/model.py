@@ -405,8 +405,7 @@ class LandModel:
                     "topo": edge_ring(dom_full.hgt),
                     "lm": edge_ring(
                         np.where(land_f, 1.0, -1.0).astype(np.float32)),
-                    "area": edge_ring(
-                        np.full(gshape, dom.dx * dom.dx, np.float32)),
+                    "area": edge_ring(dom_full.cell_area()),
                     "fdepth": (edge_ring(mr2d["fdepth"])
                                if mr2d is not None
                                else edge_ring(
@@ -424,7 +423,8 @@ class LandModel:
                 mmf = MMFState(
                     eqzwt=mr["eqzwt"], riverbed=mr["riverbed"],
                     rivercond=mr["rivercond"], pexp=mr["pexp"],
-                    fdepth=mr["fdepth"], area=z + dom.dx * dom.dx,
+                    fdepth=mr["fdepth"],
+                    area=jnp.asarray(dom.cell_area().reshape(n)),
                     topo=jnp.asarray(dom.hgt.reshape(n)),
                     qrfs=z, qsprings=z, qslat=z, qrf=z, qspring=z,
                     rech_acc=z)
@@ -454,7 +454,8 @@ class LandModel:
             else:
                 mmf = MMFState(
                     eqzwt=z, riverbed=z, rivercond=z + 0.01, pexp=z + 1.0,
-                    fdepth=z + 100.0, area=z + dom.dx * dom.dx,
+                    fdepth=z + 100.0,
+                    area=jnp.asarray(dom.cell_area().reshape(n)),
                     topo=jnp.asarray(dom.hgt.reshape(n)),
                     qrfs=z, qsprings=z, qslat=z, qrf=z, qspring=z,
                     rech_acc=z)

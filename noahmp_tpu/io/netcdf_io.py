@@ -193,6 +193,7 @@ class Domain:
     vegtyp: np.ndarray
     soiltyp: np.ndarray
     dx: float = 1000.0
+    dy: float = 1000.0
     iswater: int = 16
     isice: int = 24
     isurban: int = 1
@@ -203,6 +204,22 @@ class Domain:
     gvfmin: np.ndarray = None
     gvfmax: np.ndarray = None
     shdmax: np.ndarray = None
+    # map-scale factors (hrldas_const_read MAPFAC_MX/MY, NOT_FATAL
+    # :300-305); unity when the setup file has none.  Grid-cell area =
+    # (DX*DY)/(MSFTX*MSFTY) per cell (module_sf_noahmpdrv.F90:1109)
+    msftx: np.ndarray = None
+    msfty: np.ndarray = None
+
+    def cell_area(self):
+        """Per-cell grid area (DX*DY)/(MSFTX*MSFTY), (ny, nx) float32
+        (module_sf_noahmpdrv.F90:1109); unity map factors when the
+        setup file carries none."""
+        a = np.full((self.ny, self.nx), self.dx * self.dy, np.float64)
+        if self.msftx is not None:
+            a = a / np.asarray(self.msftx, np.float64)
+        if self.msfty is not None:
+            a = a / np.asarray(self.msfty, np.float64)
+        return a.astype(np.float32)
 
 
 def read_domain(path) -> Domain:
@@ -225,7 +242,7 @@ def read_domain(path) -> Domain:
         hgt = rd("HGT", np.zeros((ny, nx), np.float32))
         tmn = rd("TMN", np.full((ny, nx), 285.0, np.float32))
         attrs = {k: getattr(nc, k, None) for k in
-                 ("DX", "ISWATER", "ISICE", "ISURBAN")}
+                 ("DX", "DY", "ISWATER", "ISICE", "ISURBAN")}
         # landuse scheme from the MMINLU global attribute
         # (module_hrldas_netcdf_io.F90:239)
         mminlu = getattr(nc, "MMINLU", b"")
@@ -239,7 +256,10 @@ def read_domain(path) -> Domain:
                       xland=xland, seaice=seaice, hgt=hgt, tmn=tmn,
                       vegtyp=ivg, soiltyp=isl,
                       dx=float(attrs.get("DX") or 1000.0),
+                      dy=float(attrs.get("DY")
+                               or attrs.get("DX") or 1000.0),
                       iswater=iswater,
+                      msftx=rd("MAPFAC_MX"), msfty=rd("MAPFAC_MY"),
                       isice=int(attrs.get("ISICE") or 24),
                       isurban=int(attrs.get("ISURBAN") or 1),
                       llanduse=mminlu,

@@ -630,3 +630,27 @@ def test_history_proc_pool_matches_inline(setup_run):
             np.testing.assert_array_equal(
                 np.asarray(a.variables[v][:]),
                 np.asarray(b.variables[v][:]), err_msg=v)
+
+
+def test_cell_area_uses_map_factors(tmp_path):
+    """Grid-cell area = (DX*DY)/(MSFTX*MSFTY) per cell
+    (module_sf_noahmpdrv.F90:1109) — a projected domain's MMF water
+    budget depends on it; unity when the file has no map factors."""
+    ny, nx = 3, 4
+    p = tmp_path / "dom.nc"
+    write_domain_file(str(p), ny, nx)
+    with netcdf_file(str(p), "a") as nc:
+        nc.DY = 2000.0
+        for name, val in (("MAPFAC_MX", 2.0), ("MAPFAC_MY", 0.5)):
+            v = nc.createVariable(name, "f",
+                                  ("Time", "south_north", "west_east"))
+            v[0] = np.full((ny, nx), val, np.float32)
+    d = ncio.read_domain(str(p))
+    assert d.dy == 2000.0
+    np.testing.assert_allclose(d.cell_area(),
+                               1000.0 * 2000.0 / (2.0 * 0.5))
+
+    p2 = tmp_path / "dom2.nc"
+    write_domain_file(str(p2), ny, nx)
+    d2 = ncio.read_domain(str(p2))
+    np.testing.assert_allclose(d2.cell_area(), 1000.0 * 1000.0)
