@@ -844,6 +844,11 @@ def write_restart(path, cfg, date_str, state, accum, ny, nx, mmf=None,
             if len(shard) > 3:
                 nc.COL0 = int(shard[3])
                 nc.GLOBAL_NX = int(shard[4])
+        # reference restart globals (:2188-2201); the reference reader
+        # only warns when TITLE is absent, but faithful files keep
+        # downstream HRLDAS tooling quiet
+        nc.TITLE = "RESTART FILE FROM HRLDAS noahmp_tpu"
+        nc.missing_value = np.float32(C.MISSING_OUTPUT)
         nc.createDimension("Time", 1)
         nc.createDimension("DateStrLen", 19)
         nc.createDimension("west_east", nx)
