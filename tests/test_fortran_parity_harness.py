@@ -54,6 +54,7 @@ def _run_harness(fake_ref, workdir, extra_env=None):
                else None)
 
 
+@pytest.mark.slow
 def test_parity_harness_green(fake_ref, tmp_path):
     p, rep = _run_harness(fake_ref, tmp_path / "work")
     assert p.returncode == 0, (
@@ -72,6 +73,7 @@ def test_parity_harness_green(fake_ref, tmp_path):
     assert max(rep["max_divergence"].values()) == 0.0
 
 
+@pytest.mark.slow
 def test_parity_harness_trips_on_divergence(fake_ref, tmp_path):
     p, rep = _run_harness(fake_ref, tmp_path / "work",
                           extra_env={"MOCK_PERTURB": "1"})

@@ -135,6 +135,7 @@ def _assemble(shards, field, ny, nx):
     return out.reshape((ny * nx,) + tail)
 
 
+@pytest.mark.slow
 def test_two_process_matches_single(tmp_path):
     """2-process row-split run == single-process run, field by field
     (opt_run=3: zero cross-host communication)."""
@@ -183,6 +184,7 @@ def _write_mmf(path, ny, nx):
             v[0] = val
 
 
+@pytest.mark.slow
 def test_two_process_mmf_halo_matches_single(tmp_path):
     """opt_run=5: the MMF D8 stencil crosses the row-block boundary;
     the KV-store WTD halo must reproduce the global stencil exactly."""
@@ -204,6 +206,7 @@ def test_two_process_mmf_halo_matches_single(tmp_path):
             err_msg=f)
 
 
+@pytest.mark.slow
 def test_four_process_2d_blocks_mmf(tmp_path):
     """4 processes on an 8x8 domain -> a 2x2 process grid
     (procs_xy minimizes |npx-npy|, the reference's
@@ -255,6 +258,7 @@ def test_four_process_2d_blocks_mmf(tmp_path):
             err_msg="ZWT")
 
 
+@pytest.mark.slow
 def test_three_process_mmf_middle_rank(tmp_path):
     """3 processes, opt_run=5: the MIDDLE rank has live neighbours on
     BOTH sides, so exchange_edges_2d's two-sided row path and two MMF

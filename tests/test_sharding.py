@@ -190,6 +190,7 @@ def test_biome_bucketing_matches_auto():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_landmodel_sharded_production_equivalence(tmp_path):
     """VERDICT r3 next #5: the FULL production LandModel — cold-start
     init, the K-step chunked scan with on-device forcing derivation,
