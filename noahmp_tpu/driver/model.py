@@ -186,6 +186,25 @@ class LandModel:
         else:
             self.history.write(date, *ex, f, mmf)
 
+    def _history_stack_job(self, dates, ys):
+        """Runs ON the writer thread: move a whole chunk's stacked
+        history ys (n_out output intervals) to the host in one async
+        transfer batch, then expand/encode each interval from host
+        memory — with io_procs, the per-interval encodes fan out to
+        the worker pool immediately."""
+        for x in jtu.tree_leaves(ys):
+            if hasattr(x, "copy_to_host_async"):
+                try:
+                    x.copy_to_host_async()
+                except Exception:
+                    break
+        host = jtu.tree_map(np.asarray, ys)
+        state_s, diag_s, accum_s, hf_s, mmf_s = host
+        for i, date in enumerate(dates):
+            sl = jtu.tree_map(lambda v, _i=i: v[_i],
+                              (state_s, diag_s, accum_s, hf_s, mmf_s))
+            self._history_job(date, sl[0], sl[1], sl[2], sl[3], sl[4])
+
     def _get_hist_pool(self):
         import os as _os
         n = self.io_procs
@@ -1105,10 +1124,12 @@ class LandModel:
         t2 = time.perf_counter()
 
         if n_out:
-            for i, dte in enumerate(prep["out_dates"]):
-                sl = jtu.tree_map(lambda v, _i=i: v[_i], ys)
-                self._submit_io(self._history_job, dte, sl[0], sl[1],
-                                sl[2], sl[3], sl[4])
+            # ONE writer job per chunk: the stacked ys cross the link
+            # as one async transfer batch, then the intervals are
+            # sliced host-side — not n_out separate device-slice jobs
+            # (each would pay its own transfer round trips)
+            self._submit_io(self._history_stack_job, prep["out_dates"],
+                            ys)
         else:
             epoch = prep["end_itime"] * dt
             if self.rs.output_timestep > 0 \
