@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import multiprocessing as _mp
 import os
-import sys
 
 _WRITER = None
 
