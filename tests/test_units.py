@@ -340,3 +340,22 @@ def test_snowfall_layer_creation():
                  snice=[0.0, 0.0, 20.0], dz_sn=[0.0, 0.0, 0.05])
     out = snowfall(cfg, pk, qsnow, snowhin, jnp.float32(268.0))
     assert np.isclose(float(out.snice[2]), 20.0 + 0.005 * cfg.dt)
+
+
+def test_oracle_cache_keying(tmp_path, monkeypatch):
+    """tests/oracle_cache.py: round-trip, key sensitivity (any input
+    change misses), and source-hash invalidation (an oracle edit busts
+    every entry)."""
+    import oracle_cache as oc
+    monkeypatch.setattr(oc, "CACHE_DIR", tmp_path)
+    key = {"kind": "t", "par": {"a": 1.0}, "fices": [[0.0, 0.5]]}
+    data = {"tg": np.arange(4.0), "smc1": np.ones(4)}
+    assert oc.get(key) is None
+    oc.put(key, data)
+    back = oc.get(key)
+    np.testing.assert_array_equal(back["tg"], data["tg"])
+    # any input perturbation is a different entry
+    assert oc.get({**key, "fices": [[0.0, 0.5000001]]}) is None
+    # an oracle-source change invalidates everything
+    monkeypatch.setattr(oc, "_SRC_HASH", "deadbeefdeadbeef")
+    assert oc.get(key) is None
