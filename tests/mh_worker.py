@@ -33,7 +33,7 @@ def main():
              col0=(m._shard[3] if len(m._shard) > 3 else 0),
              **{f: np.asarray(getattr(full, f))
                 for f in full.__dataclass_fields__})
-    mh.barrier("mh-test-done", 900_000)
+    mh.barrier("mh-test-done", 2_400_000)
     jax.distributed.shutdown()
 
 

@@ -106,7 +106,10 @@ def _run_workers(tmp_path, nml, steps, nprocs=2):
              str(pid), str(nprocs), f"127.0.0.1:{port}", str(nml),
              str(steps), str(out)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    # generous: under pytest-xdist on a small box the 2-4 jax worker
+    # processes of two concurrent multihost tests oversubscribe the
+    # cores badly (observed 958 s wall for a 255 s idle-box test)
+    logs = [p.communicate(timeout=2400)[0].decode() for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
     return [dict(np.load(o)) for o in outs]
