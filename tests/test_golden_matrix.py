@@ -87,10 +87,16 @@ def test_option_matrix_regression(goldens, name):
     local = LOCAL_DIR / f"{name}.npz"
     if not local.exists():
         np.savez_compressed(local, **res)
+        print(f"\nNOTE: {name}: tier-1 machine-local baseline CREATED, "
+              f"not checked — the strict tier is inactive this run "
+              f"(first run on this machine / fresh checkout); only the "
+              f"cross-machine column-fraction tier had teeth")
         return
     loc = np.load(local)
     if set(loc.files) != set(res):
         np.savez_compressed(local, **res)   # schema changed: re-freeze
+        print(f"\nNOTE: {name}: tier-1 baseline RE-FROZEN (field schema "
+              f"changed) — strict tier inactive this run")
         return
     for field, got in res.items():
         np.testing.assert_allclose(
