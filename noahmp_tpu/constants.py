@@ -47,3 +47,4 @@ FOLN_DEFAULT = 1.0     # foliage nitrogen factor
 # (module_hrldas_noahmp_vars.F90:6)
 UNDEFINED = -1.0e20
 MISSING_OUTPUT = -1.0e33  # water-masked history value (io.F90:1970-1974)
+PACK16_FILL = -32768      # water fill in 16-bit-packed history planes

@@ -33,6 +33,7 @@ from ..grid.lateral import (MMFState, wtable_mmf, eqsmoisture,
 from .dates import declin_scalars, geth_newdate, parse_date, yearlen
 from .init import cold_start
 from .namelist import RunSettings
+from .pack import TreePacker, unpack
 from ..io import netcdf_io as ncio
 
 WTDDT_MINUTES = 30.0  # groundwater cadence (module_hrldas_noahmp_vars.F90:165)
@@ -110,6 +111,9 @@ class LandModel:
     _io_queue: object = None         # async history/restart writer
     _io_thread: object = None
     _io_error: object = None
+    _packer: object = None           # one-transfer readback (pack.py)
+    _plane_fns: dict = None          # (has_mmf, stacked) -> jitted
+                                     # device history-plane derivation
 
     # -- async file output ---------------------------------------------
     # History/restart writes run on a daemon thread so the device can
@@ -186,6 +190,148 @@ class LandModel:
         else:
             self.history.write(date, *ex, f, mmf)
 
+    # -- one-transfer readback -----------------------------------------
+    # Each device->host message through the remote-TPU tunnel pays its
+    # own round trip; a ~150-leaf tree read back leaf-by-leaf costs
+    # seconds per chunk (the measured 52%-of-link-ceiling gap of r4).
+    # The whole payload is therefore concatenated ON DEVICE into one
+    # flat buffer (driver/pack.py, bit-exact via int32 bitcast),
+    # transferred as ONE message, and split host-side on the writer
+    # thread.  Reference analogue: the io-rank gathers the full field
+    # before writing (module_hrldas_netcdf_io.F90:1773-1884).
+    def _pack_async(self, tree):
+        """(packed buffer, meta) with the host copy already started,
+        or None when a leaf dtype is unsupported (caller falls back to
+        the per-leaf path).  NOAHMP_NO_PACK=1 forces the per-leaf path
+        (A/B debugging of the readback plumbing)."""
+        import os as _os
+        if _os.environ.get("NOAHMP_NO_PACK"):
+            return None
+        if self._packer is None:
+            self._packer = TreePacker()
+        packed = self._packer.pack(tree)
+        if packed is None:
+            return None
+        buf, meta = packed
+        if hasattr(buf, "copy_to_host_async"):
+            try:
+                buf.copy_to_host_async()
+            except Exception:
+                pass      # a real transfer error resurfaces at unpack
+        return buf, meta
+
+    # -- device-computed history planes --------------------------------
+    # The writer consumes ~104 registry planes but the model state it
+    # derives them from spans ~136 — so the planes are computed ON
+    # DEVICE (exactly the selected registry subset, including LH and
+    # the STC soil/snow splits) and only those bytes cross the link.
+    # With HISTORY_PACK16 each f32 plane is additionally quantized to
+    # int16 over its per-write land range (CF scale_factor/add_offset
+    # packing), halving the payload again.
+    def _get_plane_fn(self, has_mmf, stacked):
+        if self._plane_fns is None:
+            self._plane_fns = {}
+        key = (has_mmf, stacked)
+        fn = self._plane_fns.get(key)
+        if fn is not None:
+            return fn
+        sel = self.rs.history_fields
+        entries = [e for e in ncio.HISTORY_FIELDS
+                   if (sel is None or e[0] in sel)
+                   and e[5] != "sosn"
+                   and not (e[1] == "mmf" and not has_mmf)]
+        nsnow = self.cfg.nsnow
+        pack16 = self.rs.history_pack16
+
+        def quant16(x, land):
+            lm = land if x.ndim == land.ndim else land[..., None]
+            mx = jnp.max(jnp.where(lm, x, -jnp.inf))
+            mn = jnp.min(jnp.where(lm, x, jnp.inf))
+            off = jnp.float32(0.5) * (mx + mn)
+            # floor the scale at |off|*2.5e-10: the f32 rounding of
+            # `off` shifts the whole quantization grid by up to
+            # eps(off)/scale ~ |off|*2^-24/scale steps, and the clip
+            # below only has ~266 steps of headroom past the nominal
+            # ±32500 span — without the floor a near-constant plane
+            # (range << |mean|, e.g. TRAD) saturates at the clip and
+            # decodes with the full grid-shift error
+            scale = jnp.maximum(
+                jnp.maximum((mx - mn) / jnp.float32(65000.0),
+                            jnp.abs(off) * jnp.float32(2.5e-10)),
+                jnp.float32(1e-30))
+            q = jnp.clip(jnp.round((x - off) / scale),
+                         -32766.0, 32766.0)
+            return (q.astype(jnp.int16),
+                    jnp.stack([off, scale]).astype(jnp.float32))
+
+        def derive(s, d, a, hf, mmf, land):
+            planes, scales = {}, {}
+            for (name, src, field, _u, _d, kind) in entries:
+                if src == "state":
+                    x = getattr(s, field)
+                elif src == "diag":
+                    x = getattr(d, field)
+                elif src == "accum":
+                    x = getattr(a, field)
+                elif src == "forc":
+                    x = hf[field]
+                elif src == "lh":
+                    x = d.fcev + d.fgev + d.fctr
+                elif src == "mmf":
+                    x = getattr(mmf, field)
+                elif src == "state_stc_soil":
+                    x = s.stc[..., nsnow:]
+                elif src == "state_stc_snow":
+                    x = s.stc[..., :nsnow]
+                elif src == "state_zsnso_snow":
+                    x = s.zsnso[..., :nsnow]
+                else:
+                    raise ValueError(f"unknown history source {src}")
+                if pack16 and kind != "int2d":
+                    planes[name], scales[name] = quant16(x, land)
+                else:
+                    planes[name] = x
+            return planes, scales
+
+        fn = jax.jit(jax.vmap(derive,
+                              in_axes=(0, 0, 0, 0, 0, None))
+                     if stacked else derive)
+        self._plane_fns[key] = fn
+        return fn
+
+    def _plane_outputs(self, s, d, a, hf, mmf, stacked):
+        """Derive the history planes on device and start their ONE
+        packed host copy; None when packing is disabled
+        (NOAHMP_NO_PACK — the per-leaf full-tree path then runs)."""
+        import os as _os
+        if _os.environ.get("NOAHMP_NO_PACK"):
+            return None
+        fn = self._get_plane_fn(mmf is not None, stacked)
+        return self._pack_async(fn(s, d, a, hf, mmf, self.masks.land))
+
+    def _write_named(self, date, planes, scales):
+        """Writer thread: expand compacted planes to the full grid and
+        hand them to the encoder (worker pool when io_procs > 0)."""
+        planes = self._expand_tree(planes)
+        scales = ({k: np.asarray(v) for k, v in scales.items()}
+                  if scales else None)
+        pool = self._get_hist_pool()
+        if pool is not None:
+            pool.submit_named(date, planes, scales)
+        else:
+            self.history.write_named(date, planes, scales)
+
+    def _history_named_job(self, date, packed):
+        planes, scales = unpack(*packed)
+        self._write_named(date, planes, scales)
+
+    def _history_named_stack_job(self, dates, packed):
+        planes, scales = unpack(*packed)
+        for i, date in enumerate(dates):
+            self._write_named(
+                date, {k: v[i] for k, v in planes.items()},
+                {k: v[i] for k, v in scales.items()})
+
     def _history_stack_job(self, dates, ys):
         """Runs ON the writer thread: move a whole chunk's stacked
         history ys (n_out output intervals) to the host in one async
@@ -209,8 +355,15 @@ class LandModel:
         import os as _os
         n = self.io_procs
         if n is None:
-            n = int(_os.environ.get("NOAHMP_IO_PROCS", "0"))
-        if n <= 0:
+            n = _os.environ.get("NOAHMP_IO_PROCS", "0")
+        if isinstance(n, str):
+            n = -1 if n.strip().lower() == "auto" else int(n)
+        if n < 0:
+            # auto-size: one encode worker per core, minus one core
+            # kept for the transfer/drain thread (namelist IO_PROCS=-1
+            # or NOAHMP_IO_PROCS=auto)
+            n = max((_os.cpu_count() or 2) - 1, 1)
+        if n == 0:
             return None
         if self._hist_pool is None:
             from ..io.procwriter import ProcHistoryPool
@@ -566,6 +719,8 @@ class LandModel:
         m._hist_args = (rs.outdir, cfg, dom.ny, dom.nx, vegtyp,
                         soiltyp, dom.iswater, shard)
         m.history = ncio.HistoryWriter(*m._hist_args)
+        if rs.io_procs:       # namelist IO_PROCS (0 = env/default)
+            m.io_procs = rs.io_procs
         # static slices when compacted; "auto" on the uncompacted
         # layout (glaciers interleaved or absent)
         gidx = glacier_start if land_idx is not None else "auto"
@@ -1124,19 +1279,32 @@ class LandModel:
         t2 = time.perf_counter()
 
         if n_out:
-            # ONE writer job per chunk: the stacked ys cross the link
-            # as one async transfer batch, then the intervals are
-            # sliced host-side — not n_out separate device-slice jobs
-            # (each would pay its own transfer round trips)
-            self._submit_io(self._history_stack_job, prep["out_dates"],
-                            ys)
+            # ONE writer job AND one device->host message per chunk:
+            # the registry planes for all n_out intervals are derived
+            # on device, packed into a single buffer (_plane_outputs)
+            # and sliced host-side — not n_out separate device-slice
+            # jobs or ~150 per-leaf transfers (each of which would pay
+            # its own tunnel round trip)
+            pl = self._plane_outputs(ys[0], ys[1], ys[2], ys[3], ys[4],
+                                     stacked=True)
+            if pl is not None:
+                self._submit_io(self._history_named_stack_job,
+                                prep["out_dates"], pl)
+            else:
+                self._submit_io(self._history_stack_job,
+                                prep["out_dates"], ys)
         else:
             epoch = prep["end_itime"] * dt
             if self.rs.output_timestep > 0 \
                     and epoch % self.rs.output_timestep == 0:
-                self._submit_io(self._history_job, prep["end_date"],
-                                s, d, a, hf,
-                                mmf if self._shard is None else self.mmf)
+                hm = mmf if self._shard is None else self.mmf
+                pl = self._plane_outputs(s, d, a, hf, hm, stacked=False)
+                if pl is not None:
+                    self._submit_io(self._history_named_job,
+                                    prep["end_date"], pl)
+                else:
+                    self._submit_io(self._history_job, prep["end_date"],
+                                    s, d, a, hf, hm)
         epoch = prep["end_itime"] * dt
         if self.rs.restart_timestep > 0 \
                 and epoch % self.rs.restart_timestep == 0:
@@ -1253,21 +1421,27 @@ class LandModel:
         # snapshots: the writer thread runs later (device arrays are
         # immutable, so the expansion can happen on that thread too and
         # overlap the next chunk's compute)
-        args = (str(path), self.cfg, date, state, accum,
-                self.domain.ny, self.domain.nx)
-        kw = dict(mmf=mmf, extras=extras, smceq=self.smceq,
-                  shard=self._shard)
+        kw = dict(extras=extras, smceq=self.smceq, shard=self._shard)
+        pstr = str(path)
         if self._shard:
-            args = (args[0] + f".p{self._shard[0]:04d}",) + args[1:]
+            pstr += f".p{self._shard[0]:04d}"
 
-        def job(path_, cfg_, date_, state_, accum_, ny_, nx_, _kw=kw):
-            ncio.write_restart(path_, cfg_, date_,
+        def job(state_, accum_, mmf_, _kw=kw):
+            ncio.write_restart(pstr, self.cfg, date,
                                self._expand_tree(state_),
                                self._expand_tree(accum_),
-                               ny_, nx_, **_kw)
+                               self.domain.ny, self.domain.nx,
+                               mmf=mmf_, **_kw)
 
         if _async:
-            self._submit_io(job, *args)
+            # one packed device->host message for the whole restart
+            # payload (state + accum + MMF) — see _pack_async
+            packed = self._pack_async((state, accum, mmf))
+            if packed is not None:
+                self._submit_io(
+                    lambda _p=packed: job(*unpack(*_p)))
+            else:
+                self._submit_io(job, state, accum, mmf)
         else:
-            job(*args)
+            job(state, accum, mmf)
         return str(path)

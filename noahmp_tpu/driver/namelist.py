@@ -57,12 +57,42 @@ class RunSettings:
     ystart: int = 1
     xend: int = 0
     yend: int = 0
+    # --- framework extensions beyond the reference namelist ----------
+    # HISTORY_FIELDS = "FSA,FSH,TRAD,..." restricts history output to a
+    # subset of the registry (the reference always writes all ~90
+    # fields, module_hrldas_netcdf_io.F90:1536-2043); None = all.
+    history_fields: tuple = None
+    # HISTORY_PACK16 = .true. writes history planes as NetCDF shorts
+    # with CF scale_factor/add_offset packing (half the bytes; ~1e-4
+    # relative quantization over each plane's range).  Default off —
+    # full-precision f32 files identical to the reference's layout.
+    history_pack16: bool = False
+    # IO_PROCS = N parallel history-encode worker processes
+    # (io/procwriter.py); -1 = auto-size from cpu_count; 0 = inline.
+    io_procs: int = 0
 
     @property
     def ntime(self) -> int:
         """hrldas_noahmp_namelist_get_ntime (:313-318)."""
         khour = self.khour if self.khour > 0 else self.kday * 24
         return khour * 3600 // self.model_timestep
+
+
+def _parse_fields(v):
+    """HISTORY_FIELDS value -> tuple of registry names (validated) or
+    None for the full set."""
+    if not v:
+        return None
+    names = tuple(s.strip().upper() for s in str(v).replace(",", " ")
+                  .split() if s.strip())
+    from ..io.netcdf_io import HISTORY_FIELDS
+    known = {e[0] for e in HISTORY_FIELDS}
+    bad = [n for n in names if n not in known]
+    if bad:
+        raise ValueError(f"unknown HISTORY_FIELDS entries: {bad}; "
+                         f"valid names are the history registry "
+                         f"(io/netcdf_io.py HISTORY_FIELDS)")
+    return names
 
 
 def read_namelist(path):
@@ -117,6 +147,9 @@ def read_namelist(path):
         zlvl=zlvl,
         xstart=int(g.get("xstart", 1)), ystart=int(g.get("ystart", 1)),
         xend=int(g.get("xend", 0)), yend=int(g.get("yend", 0)),
+        history_fields=_parse_fields(g.get("history_fields")),
+        history_pack16=bool(g.get("history_pack16", False)),
+        io_procs=int(g.get("io_procs", 0)),
     )
 
     # validation (:234-253)

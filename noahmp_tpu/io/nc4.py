@@ -128,7 +128,15 @@ class _Var:
                         self._nc._ncid, self._varid,
                         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))),
                         self.name)
-                elif self._xtype in (NC_INT, NC_SHORT, NC_BYTE):
+                elif self._xtype == NC_SHORT:
+                    # native int16 (scale/offset-packed history planes
+                    # must round-trip their on-disk type)
+                    arr = np.empty(self.shape, np.int16)
+                    _chk(lib.nc_get_var_short(
+                        self._nc._ncid, self._varid,
+                        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_short))),
+                        self.name)
+                elif self._xtype in (NC_INT, NC_BYTE):
                     arr = np.empty(self.shape, np.int32)
                     _chk(lib.nc_get_var_int(
                         self._nc._ncid, self._varid,
@@ -212,6 +220,12 @@ class _Var:
             _chk(lib.nc_put_vara_double(
                 nc._ncid, self._varid, startc, countc,
                 a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))), self.name)
+        elif self._xtype == NC_SHORT:
+            a = np.ascontiguousarray(np.broadcast_to(
+                np.asarray(value, np.int16), count))
+            _chk(lib.nc_put_vara_short(
+                nc._ncid, self._varid, startc, countc,
+                a.ctypes.data_as(ctypes.POINTER(ctypes.c_short))), self.name)
         else:
             a = np.ascontiguousarray(np.broadcast_to(
                 np.asarray(value, np.float32), count))
@@ -298,6 +312,12 @@ class nc4_file:
             _chk(lib.nc_put_att_text(self._ncid, varid, key.encode(),
                                      ctypes.c_size_t(len(value)), value),
                  key)
+        elif isinstance(value, np.int16):
+            # _FillValue/missing_value on short variables must be
+            # attribute-typed NC_SHORT to match the variable type
+            a = (ctypes.c_short * 1)(int(value))
+            _chk(lib.nc_put_att_short(self._ncid, varid, key.encode(),
+                                      NC_SHORT, ctypes.c_size_t(1), a), key)
         elif isinstance(value, (int, np.integer)):
             a = (ctypes.c_int * 1)(int(value))
             _chk(lib.nc_put_att_int(self._ncid, varid, key.encode(),

@@ -736,11 +736,58 @@ class HistoryWriter:
         self.shard = shard
 
     def write(self, date_str, state, diag, accum, forcing=None, mmf=None):
+        """Host-side plane derivation + write (the legacy/fallback
+        path; the production driver derives the same planes ON DEVICE
+        — driver/model._build_plane_fn — and calls write_named with
+        the result of one packed transfer)."""
+        nsnow = self.cfg.nsnow
+        planes = {}
+        for (name, src, field, units, desc, kind) in HISTORY_FIELDS:
+            if src == "diag":
+                data = np.asarray(getattr(diag, field))
+            elif src == "accum":
+                data = np.asarray(getattr(accum, field))
+            elif src == "forc":
+                if forcing is None:
+                    continue
+                data = np.asarray(getattr(forcing, field))
+            elif src == "lh":
+                # LH = FCEV + FGEV + FCTR (module_sf_noahmpdrv.F90)
+                data = (np.asarray(diag.fcev) + np.asarray(diag.fgev)
+                        + np.asarray(diag.fctr))
+            elif src == "mmf":
+                if mmf is None:
+                    continue
+                data = np.asarray(getattr(mmf, field))
+            elif src == "state_zsnso_snow":
+                data = np.asarray(state.zsnso)[:, :nsnow]
+            elif src.startswith("state_stc"):
+                data = _get_state_field(
+                    state, "stc",
+                    "soil" if src.endswith("soil") else "snow", nsnow)
+            else:
+                data = np.asarray(getattr(state, field))
+            planes[name] = data
+        self.write_named(date_str, planes)
+
+    def write_named(self, date_str, planes, scales=None):
+        """Write a history file from named registry planes.
+
+        planes: {HISTORY_FIELDS name: full-grid numpy array}, shape
+        (ny*nx,) for 2d/int2d kinds or (ny*nx, nlayers) for soil/snow;
+        dtype float32, int32 (int2d), or int16 for scale/offset-packed
+        planes (then ``scales[name] = (add_offset, scale_factor)`` and
+        the variable is written as NetCDF short with the standard CF
+        packing attributes — unpacked = short*scale_factor+add_offset,
+        missing_value/_FillValue = -32768).  Fields absent from
+        ``planes`` are simply not written (namelist HISTORY_FIELDS
+        subsetting)."""
         ny, nx = self.ny, self.nx
         nsnow, nsoil = self.cfg.nsnow, self.cfg.nsoil
         compact = date_str.replace("-", "").replace(":", "").replace("_", "T")
         suffix = f".p{self.shard[0]:04d}" if self.shard else ""
         path = self.outdir / f"output.{compact}.nc{suffix}"
+        fill16 = np.int16(C.PACK16_FILL)
         with _wfile(path) as nc:
             if self.shard:
                 nc.ROW0 = int(self.shard[1])
@@ -763,55 +810,39 @@ class HistoryWriter:
                                     ("Time", "south_north", "west_east"))
             isl[0] = self.soiltyp
             for (name, src, field, units, desc, kind) in HISTORY_FIELDS:
-                if src == "diag":
-                    data = np.asarray(getattr(diag, field))
-                elif src == "accum":
-                    data = np.asarray(getattr(accum, field))
-                elif src == "forc":
-                    if forcing is None:
-                        continue
-                    data = np.asarray(getattr(forcing, field))
-                elif src == "lh":
-                    # LH = FCEV + FGEV + FCTR (module_sf_noahmpdrv.F90)
-                    data = (np.asarray(diag.fcev) + np.asarray(diag.fgev)
-                            + np.asarray(diag.fctr))
-                elif src == "mmf":
-                    if mmf is None:
-                        continue
-                    data = np.asarray(getattr(mmf, field))
-                elif src == "state_zsnso_snow":
-                    data = np.asarray(state.zsnso)[:, :nsnow]
-                elif src.startswith("state_stc"):
-                    data = _get_state_field(
-                        None if False else state, "stc",
-                        "soil" if src.endswith("soil") else "snow", nsnow)
-                else:
-                    data = np.asarray(getattr(state, field))
-                if kind == "2d":
+                data = planes.get(name)
+                if data is None or kind == "sosn":
+                    continue    # absent (subset/no forc/no mmf) or sosn
+                packed = data.dtype == np.int16
+                tc = "h" if packed else ("i" if kind == "int2d" else "f")
+                miss = fill16 if packed else C.MISSING_OUTPUT
+                if kind in ("2d", "int2d"):
                     var = nc.createVariable(
-                        name, "f", ("Time", "south_north", "west_east"))
-                    d2 = data.reshape(ny, nx).astype(np.float32)
-                    var[0] = np.where(self.water, C.MISSING_OUTPUT, d2)
-                elif kind == "int2d":
-                    var = nc.createVariable(
-                        name, "i", ("Time", "south_north", "west_east"))
-                    var[0] = data.reshape(ny, nx).astype(np.int32)
+                        name, tc, ("Time", "south_north", "west_east"))
+                    d2 = data.reshape(ny, nx)
+                    if kind == "int2d":
+                        var[0] = d2.astype(np.int32)
+                    else:
+                        var[0] = np.where(self.water, miss, d2)
                 else:
                     dim = ("soil_layers_stag" if kind == "soil"
                            else "snow_layers")
                     nl = nsoil if kind == "soil" else nsnow
-                    if kind == "sosn":
-                        continue  # history skips sosn fields
                     # reference XZY layout: (Time, south_north, layers,
                     # west_east) (make_var_att_3d :1932-1935)
                     var = nc.createVariable(
-                        name, "f", ("Time", "south_north", dim, "west_east"))
+                        name, tc, ("Time", "south_north", dim, "west_east"))
                     d3 = data.reshape(ny, nx, nl).transpose(0, 2, 1)
-                    var[0] = np.where(self.water[:, None, :],
-                                      C.MISSING_OUTPUT,
-                                      d3.astype(np.float32))
+                    if not packed:
+                        d3 = d3.astype(np.float32)
+                    var[0] = np.where(self.water[:, None, :], miss, d3)
                     var.MemoryOrder = b"XZY"
                     var.stagger = b"Z"
+                if packed:
+                    off, sc = scales[name]
+                    var.add_offset = np.float32(off)
+                    var.scale_factor = np.float32(sc)
+                    var.missing_value = fill16
                 var.units = units.encode()
                 var.description = desc.encode()
 

@@ -30,6 +30,11 @@ _WRITER = None
 
 def _init_worker(writer_args):
     global _WRITER
+    # worker-side guard: if anything in this process ever imports jax,
+    # it must see the CPU platform, never the real device (set HERE,
+    # in the child, not in the parent — see ProcHistoryPool.__init__)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = ""
     from .netcdf_io import HistoryWriter
     _WRITER = HistoryWriter(*writer_args)
 
@@ -39,6 +44,10 @@ def _encode(date, state, diag, accum, forc, mmf):
     ns = lambda d: None if d is None else SimpleNamespace(**d)
     _WRITER.write(date, ns(state), ns(diag), ns(accum), ns(forc),
                   ns(mmf))
+
+
+def _encode_named(date, planes, scales):
+    _WRITER.write_named(date, planes, scales)
 
 
 def _as_dict(tree):
@@ -59,11 +68,19 @@ class ProcHistoryPool:
 
     def __init__(self, writer_args, nprocs):
         ctx = _mp.get_context("spawn")
-        saved = {k: os.environ.get(k)
-                 for k in ("JAX_PLATFORMS", "PYTHONPATH", "XLA_FLAGS")}
+        # Strip the axon/TPU sitecustomize from PYTHONPATH around the
+        # spawn so a worker can never initialize (and steal) the real
+        # device at interpreter start.  ONLY PYTHONPATH is touched:
+        # python reads it exclusively at child interpreter startup,
+        # while JAX_PLATFORMS / XLA_FLAGS are consulted by the
+        # PARENT's jax — the pool is built on the writer thread, and
+        # briefly flipping those in the parent races any jit tracing
+        # on the main thread (observed: the cache key changes under
+        # the in-flight chunk function, forcing a multi-minute
+        # re-lowering mid-run).  The jax-side guards are set in the
+        # CHILD instead (_init_worker).
+        saved = os.environ.get("PYTHONPATH")
         try:
-            os.environ["JAX_PLATFORMS"] = "cpu"
-            os.environ["XLA_FLAGS"] = ""
             pp = [p for p in
                   os.environ.get("PYTHONPATH", "").split(os.pathsep)
                   if p and "axon" not in p]
@@ -76,11 +93,10 @@ class ProcHistoryPool:
                                   initializer=_init_worker,
                                   initargs=(tuple(writer_args),))
         finally:
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+            if saved is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = saved
         self._pending = []
 
     def submit(self, date, state, diag, accum, forc, mmf):
@@ -90,6 +106,18 @@ class ProcHistoryPool:
                 _as_dict(forc), _as_dict(mmf))
         self._pending.append(self._pool.apply_async(_encode, args))
         # bound memory: each pending job pins a full expanded payload
+        while len(self._pending) > 2 * self._pool._processes:
+            self._pending.pop(0).get()
+
+    def submit_named(self, date, planes, scales=None):
+        """planes: {name: EXPANDED full-grid numpy plane} (the
+        device-computed registry planes); scales: {name:
+        (add_offset, scale_factor)} for int16-packed planes."""
+        import numpy as np
+        args = (date, {k: np.asarray(v) for k, v in planes.items()},
+                None if scales is None
+                else {k: np.asarray(v) for k, v in scales.items()})
+        self._pending.append(self._pool.apply_async(_encode_named, args))
         while len(self._pending) > 2 * self._pool._processes:
             self._pending.pop(0).get()
 
