@@ -218,6 +218,15 @@ def main():
     ap.add_argument("--ndays", type=int, default=3)
     ap.add_argument("--opt-run", type=int, default=3)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--reuse-jax", type=Path, default=None,
+                    help="prior --workdir whose JAX-side outputs "
+                         "(case/output_jax, case/restart_jax) are "
+                         "reused instead of re-running the model — "
+                         "for re-comparing against a different "
+                         "reference binary on the identical case")
+    ap.add_argument("--skip-cross", action="store_true",
+                    help="skip both cross-restart legs (already "
+                         "proven by a prior run on the same case)")
     ap.add_argument("--out-json", type=Path, default=None)
     args = ap.parse_args()
 
@@ -231,7 +240,17 @@ def main():
 
     tables = args.ref / "run"
     fsecs = run_fortran(exe, nml_f, tables, args.workdir / "fortran_run")
-    m, jsecs = run_jax(nml_j)
+    if args.reuse_jax:
+        import shutil as _sh
+        prior = args.reuse_jax / "case"
+        for d in ("output_jax", "restart_jax"):
+            dst = case / d
+            if dst.exists():
+                _sh.rmtree(dst)
+            _sh.copytree(prior / d, dst)
+        jsecs = 0.0          # not re-measured on the reuse path
+    else:
+        _, jsecs = run_jax(nml_j)
 
     ncols = args.ny * args.nx
     nsteps = args.ndays * 24          # MODEL_TIMESTEP=3600
@@ -246,7 +265,8 @@ def main():
         pass
     print(f"\nFortran: {fsecs:.2f}s ({baseline:,.0f} col*steps/s on "
           f"{cpu}); JAX driver: {jsecs:.2f}s "
-          f"({ncols * nsteps / jsecs:,.0f} col*steps/s)")
+          + (f"({ncols * nsteps / jsecs:,.0f} col*steps/s)"
+             if jsecs else "(reused prior JAX outputs)"))
 
     # -- history parity --------------------------------------------------
     table, failures = {}, []
@@ -273,6 +293,8 @@ def main():
 
     # -- cross-restart (a): resume LandModel from the FORTRAN restart -----
     cross_ok = False
+    if args.skip_cross:
+        frsts = []
     if frsts:
         from noahmp_tpu.driver.namelist import read_namelist
         from noahmp_tpu.driver.model import LandModel
@@ -292,7 +314,8 @@ def main():
     # name via hrldas_restart_get; our restart carries the reference
     # variable names/dims, so the Fortran reader must accept it)
     fortran_reads_jax = False
-    jrsts = sorted((case / "restart_jax").glob("restart.*"))
+    jrsts = ([] if args.skip_cross
+             else sorted((case / "restart_jax").glob("restart.*")))
     if jrsts:
         nml_fx = write_namelist(
             case, "fxj", args.ndays, args.opt_run,

@@ -79,7 +79,11 @@ if os.environ.get(_MARK) != "1":
             import xdist  # noqa: F401
             ncpu = os.cpu_count() or 1
             if ncpu > 1:
-                argv += ["-n", str(min(ncpu, 8))]
+                # loadgroup scheduling: tests marked xdist_group share
+                # a worker (the parity-harness pair reuses one module-
+                # scoped run); unmarked tests distribute as usual
+                argv += ["-n", str(min(ncpu, 8)),
+                         "--dist", "loadgroup"]
         except ImportError:
             pass
     os.execve(sys.executable, argv, env)

@@ -39,14 +39,14 @@ def fake_ref(tmp_path_factory):
     return tmp / "ref"
 
 
-def _run_harness(fake_ref, workdir, extra_env=None):
+def _run_harness(fake_ref, workdir, extra_env=None, extra_args=()):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)
     env.update(extra_env or {})
     cmd = [sys.executable, str(REPO / "scripts" / "fortran_parity.py"),
            "--ref", str(fake_ref), "--skip-build",
            "--ny", "4", "--nx", "5", "--ndays", "1",
-           "--workdir", str(workdir)]
+           "--workdir", str(workdir), *extra_args]
     p = subprocess.run(cmd, env=env, capture_output=True, text=True,
                        timeout=1200)
     report = workdir / "parity.json"
@@ -54,9 +54,21 @@ def _run_harness(fake_ref, workdir, extra_env=None):
                else None)
 
 
+@pytest.fixture(scope="module")
+def green_run(fake_ref, tmp_path_factory):
+    """One full harness run shared by both tests (the JAX-side model
+    run dominates the cost; the divergence-trip test re-compares
+    against a perturbed mock via --reuse-jax instead of paying it
+    twice).  Both tests share one xdist worker (loadgroup) so the
+    module fixture really runs once."""
+    workdir = tmp_path_factory.mktemp("parity") / "work"
+    return workdir, *_run_harness(fake_ref, workdir)
+
+
 @pytest.mark.slow
-def test_parity_harness_green(fake_ref, tmp_path):
-    p, rep = _run_harness(fake_ref, tmp_path / "work")
+@pytest.mark.xdist_group("parity")
+def test_parity_harness_green(green_run):
+    _, p, rep = green_run
     assert p.returncode == 0, (
         f"harness failed:\n{p.stdout[-4000:]}\n{p.stderr[-4000:]}")
     assert rep is not None, "no parity.json written"
@@ -74,9 +86,15 @@ def test_parity_harness_green(fake_ref, tmp_path):
 
 
 @pytest.mark.slow
-def test_parity_harness_trips_on_divergence(fake_ref, tmp_path):
+@pytest.mark.xdist_group("parity")
+def test_parity_harness_trips_on_divergence(fake_ref, green_run,
+                                            tmp_path):
+    green_workdir, p0, _ = green_run
+    assert p0.returncode == 0, "green run failed; see its test"
     p, rep = _run_harness(fake_ref, tmp_path / "work",
-                          extra_env={"MOCK_PERTURB": "1"})
+                          extra_env={"MOCK_PERTURB": "1"},
+                          extra_args=("--reuse-jax", str(green_workdir),
+                                      "--skip-cross"))
     assert p.returncode != 0, (
         "harness passed against a +0.5 K/step perturbed oracle — the "
         "tolerance table has no teeth")

@@ -91,7 +91,12 @@ def _make_case(tmp_path, ny, nx, opt_run=3, mmf_file=""):
     return nml
 
 
-def _run_workers(tmp_path, nml, steps, nprocs=2, mesh_ndev=0):
+def _start_workers(tmp_path, nml, steps, nprocs=2, mesh_ndev=0):
+    """Launch the N worker processes WITHOUT waiting — callers run the
+    single-process reference concurrently (the two jobs are
+    independent; each process's jax import + trace/lower of the big
+    column program is the dominant cost, so overlapping them nearly
+    halves the test's wall time)."""
     port = _free_port(str(nml.parent))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -107,6 +112,10 @@ def _run_workers(tmp_path, nml, steps, nprocs=2, mesh_ndev=0):
              str(pid), str(nprocs), f"127.0.0.1:{port}", str(nml),
              str(steps), str(out), str(mesh_ndev)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    return procs, outs
+
+
+def _collect_workers(procs, outs):
     # generous: under pytest-xdist on a small box the 2-4 jax worker
     # processes of two concurrent multihost tests oversubscribe the
     # cores badly (observed 958 s wall for a 255 s idle-box test)
@@ -114,6 +123,11 @@ def _run_workers(tmp_path, nml, steps, nprocs=2, mesh_ndev=0):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
     return [dict(np.load(o)) for o in outs]
+
+
+def _run_workers(tmp_path, nml, steps, nprocs=2, mesh_ndev=0):
+    return _collect_workers(
+        *_start_workers(tmp_path, nml, steps, nprocs, mesh_ndev))
 
 
 def _single_process(nml, steps):
@@ -145,10 +159,15 @@ def test_two_process_matches_single(tmp_path):
     (opt_run=3: zero cross-host communication)."""
     ny, nx = 8, 6
     nml = _make_case(tmp_path, ny, nx)
-    steps = 4
+    # 3 steps, not 4: at OUTPUT_TIMESTEP=10800 a 4-step run splits
+    # into K=3 + K=1 chunks and every process pays TWO full
+    # trace/lowerings of the big column program (~40 s each on a
+    # 2-core box); 3 steps is one aligned chunk = one lowering
+    steps = 3
 
+    w = _start_workers(tmp_path, nml, steps)
     m, ref = _single_process(nml, steps)
-    shards = _run_workers(tmp_path, nml, steps)
+    shards = _collect_workers(*w)
 
     for f in ref.__dataclass_fields__:
         got = _assemble(shards, f, ny, nx)
@@ -199,9 +218,10 @@ def test_two_process_mmf_halo_matches_single(tmp_path):
     nml = _make_case(tmp_path, ny, nx, opt_run=5, mmf_file=mmf_f)
     steps = 3   # stepwtd=1 at dt=3600 -> the halo path runs every step
 
+    w = _start_workers(tmp_path, nml, steps)
     m, ref = _single_process(nml, steps)
     assert m.cfg.opt_run == 5 and m.mmf is not None
-    shards = _run_workers(tmp_path, nml, steps)
+    shards = _collect_workers(*w)
 
     for f in ("zwt", "smc", "sh2o", "smcwtd", "tg", "wa"):
         got = _assemble(shards, f, ny, nx)
@@ -228,9 +248,10 @@ def test_two_process_by_four_device_mesh_mmf(tmp_path):
     nml = _make_case(tmp_path, ny, nx, opt_run=5, mmf_file=mmf_f)
     steps = 3   # stepwtd=1 at dt=3600 -> the halo path runs every step
 
+    w = _start_workers(tmp_path, nml, steps, mesh_ndev=4)
     m, ref = _single_process(nml, steps)
     assert m.cfg.opt_run == 5 and m.mmf is not None
-    shards = _run_workers(tmp_path, nml, steps, mesh_ndev=4)
+    shards = _collect_workers(*w)
 
     for f in ("zwt", "smc", "sh2o", "smcwtd", "tg", "wa"):
         got = _assemble(shards, f, ny, nx)
@@ -260,9 +281,10 @@ def test_four_process_2d_blocks_mmf(tmp_path):
     nml = _make_case(tmp_path, ny, nx, opt_run=5, mmf_file=mmf_f)
     steps = 3
 
+    w = _start_workers(tmp_path, nml, steps, nprocs=4)
     m, ref = _single_process(nml, steps)
     assert m.cfg.opt_run == 5 and m.mmf is not None
-    shards = _run_workers(tmp_path, nml, steps, nprocs=4)
+    shards = _collect_workers(*w)
 
     for f in ("zwt", "smc", "sh2o", "smcwtd", "tg", "wa"):
         got = _assemble(shards, f, ny, nx)
@@ -307,9 +329,10 @@ def test_three_process_mmf_middle_rank(tmp_path):
     nml = _make_case(tmp_path, ny, nx, opt_run=5, mmf_file=mmf_f)
     steps = 3
 
+    w = _start_workers(tmp_path, nml, steps, nprocs=3)
     m, ref = _single_process(nml, steps)
     assert m.cfg.opt_run == 5 and m.mmf is not None
-    shards = _run_workers(tmp_path, nml, steps, nprocs=3)
+    shards = _collect_workers(*w)
 
     for f in ("zwt", "smc", "sh2o", "smcwtd", "tg", "wa"):
         got = _assemble(shards, f, ny, nx)
