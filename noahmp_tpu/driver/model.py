@@ -264,7 +264,7 @@ class LandModel:
             return (q.astype(jnp.int16),
                     jnp.stack([off, scale]).astype(jnp.float32))
 
-        def derive(s, d, a, hf, mmf, land):
+        def derive(s, d, a, hf, mmf, land, land_full):
             planes, scales = {}, {}
             for (name, src, field, _u, _d, kind) in entries:
                 if src == "state":
@@ -288,13 +288,17 @@ class LandModel:
                 else:
                     raise ValueError(f"unknown history source {src}")
                 if pack16 and kind != "int2d":
-                    planes[name], scales[name] = quant16(x, land)
+                    # MMF planes live on the FULL grid (the 2-D
+                    # stencil's layout), every other source on the
+                    # compacted column axis — mask accordingly
+                    planes[name], scales[name] = quant16(
+                        x, land_full if src == "mmf" else land)
                 else:
                     planes[name] = x
             return planes, scales
 
         fn = jax.jit(jax.vmap(derive,
-                              in_axes=(0, 0, 0, 0, 0, None))
+                              in_axes=(0, 0, 0, 0, 0, None, None))
                      if stacked else derive)
         self._plane_fns[key] = fn
         return fn
@@ -307,7 +311,8 @@ class LandModel:
         if _os.environ.get("NOAHMP_NO_PACK"):
             return None
         fn = self._get_plane_fn(mmf is not None, stacked)
-        return self._pack_async(fn(s, d, a, hf, mmf, self.masks.land))
+        return self._pack_async(
+            fn(s, d, a, hf, mmf, self.masks.land, self._land_full))
 
     def _write_named(self, date, planes, scales):
         """Writer thread: expand compacted planes to the full grid and

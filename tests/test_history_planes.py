@@ -116,6 +116,25 @@ def test_unknown_history_field_rejected(tmp_path):
         read_namelist(str(nml))
 
 
+def test_pack16_mmf_full_grid_planes(tmp_path):
+    """opt_run=5 + HISTORY_PACK16: the MMF accumulator planes live on
+    the FULL grid (2-D stencil layout) while everything else is on the
+    compacted column axis — the quantizer must mask each with the
+    right land mask (regression: shape mismatch at trace time)."""
+    _, nml = make_case(tmp_path, "mmf16", 21600,
+                       extra="HISTORY_PACK16 = .true.\n"
+                             " RUNOFF_OPTION = 5")
+    m = run_case(nml)
+    assert m.cfg.opt_run == 5 and m.mmf is not None
+    out = sorted((tmp_path / "mmf16" / "output").glob("output.*.nc"))[-1]
+    with ncio.open_nc(str(out)) as nc:
+        q = np.array(nc.variables["QRFS"][:])
+        assert q.dtype == np.int16
+        t = nc.variables["TRAD"]
+        assert np.array(t[:]).dtype == np.int16
+        assert np.isfinite(float(t.scale_factor))
+
+
 def test_pack16_roundtrip(tmp_path):
     """HISTORY_PACK16 files must decode to the f32 values within the
     documented quantization error (plane range / 65000) and carry the
