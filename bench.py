@@ -90,15 +90,18 @@ def probe_link():
 
 # production-tuned hourly output: the monitoring subset a forecast
 # center actually consumes at hourly cadence (energy + water balance,
-# snow, soil columns, forcing echo), written 16-bit-packed with
-# auto-sized encode workers.  The reference has no such levers — it
-# always writes all ~90 fields as f32 (module_hrldas_netcdf_io.F90
-# :1536-2043); the full-field f32 mode remains the default.
+# snow, soil columns, forcing echo), written 16-bit-packed.  The
+# reference has no such levers — it always writes all ~90 fields as
+# f32 (module_hrldas_netcdf_io.F90:1536-2043); the full-field f32
+# mode remains the default.  IO_PROCS is NOT enabled here: with the
+# packed subset the encode is only ~3 MB/output and on a 2-core box
+# the worker pickle + core contention outweigh it (measured 198k
+# pooled vs 337k inline); it pays off for full-field output or from
+# ~4 cores up.
 HOURLY_TUNED = """ HISTORY_FIELDS = "FSA,FIRA,HFX,LH,GRDFLX,TRAD,TG,\
 SNEQV,SNOWH,FSNO,SOIL_M,SOIL_T,UGDRNOFF,SFCRNOFF,ECAN,EDIR,ETRAN,\
 RAINRATE,SWFORC,LWFORC"
  HISTORY_PACK16 = .true.
- IO_PROCS = -1
 """
 HOURLY_TUNED_PLANES = 26          # 18 x 2d + SOIL_M(4) + SOIL_T(4)
 
@@ -234,10 +237,15 @@ def multichip_bench():
 
     def build(n, mesh=None):
         cfg, params, state, masks, accum, _, _ = synthetic_grid(n)
+        # buckets must stay lane-aligned (1024) AND divide evenly over
+        # the device mesh; pad_to = 1024*ndev satisfies both (the old
+        # n//ndev padded every bucket to the full per-device width —
+        # 3x the columns on one device)
         lay = column_layout(cfg, np.asarray(params.vegtyp), masks.land,
                             masks.glacier,
-                            pad_to=max(1024, n // max(ndev, 1)) if
-                            platform in ("tpu", "axon") else n // 8)
+                            pad_to=(1024 * ndev
+                                    if platform in ("tpu", "axon")
+                                    else max(n // 8, 8 * ndev)))
         srcd = jnp.asarray(lay.src)
         reorder = lambda tree: jtu.tree_map(
             lambda x: x[srcd] if getattr(x, "ndim", 0) >= 1

@@ -726,6 +726,11 @@ class LandModel:
         m.history = ncio.HistoryWriter(*m._hist_args)
         if rs.io_procs:       # namelist IO_PROCS (0 = env/default)
             m.io_procs = rs.io_procs
+        # the encode pool MUST be built on the main thread with no jit
+        # tracing in flight (ProcHistoryPool.__init__ flips the
+        # parent's JAX env around the spawn); build it eagerly here
+        # rather than lazily on the writer thread
+        m._get_hist_pool()
         # static slices when compacted; "auto" on the uncompacted
         # layout (glaciers interleaved or absent)
         gidx = glacier_start if land_idx is not None else "auto"

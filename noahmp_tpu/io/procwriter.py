@@ -67,20 +67,28 @@ class ProcHistoryPool:
     """N worker processes, each holding its own HistoryWriter."""
 
     def __init__(self, writer_args, nprocs):
+        """MUST be constructed on the MAIN thread with no jit tracing
+        in flight on any other thread (LandModel builds its pool
+        eagerly at init for exactly this reason).
+
+        The env flips below are all required at SPAWN time, in the
+        parent: a spawn child re-imports the parent's __main__ (which
+        may `import jax`) BEFORE any initializer runs, and the TPU
+        plugin is discovered via entry points — PYTHONPATH stripping
+        alone does not stop it (measured: each worker then attempts a
+        libtpu/tunnel init of its own, contending with the parent's
+        device session and halving hourly throughput).  Conversely,
+        flipping JAX_PLATFORMS in the parent WHILE another thread is
+        tracing changes the pjit cache key under the in-flight chunk
+        function and forces a multi-minute re-lowering mid-run — the
+        main-thread-only construction rule is what makes the flip
+        safe."""
         ctx = _mp.get_context("spawn")
-        # Strip the axon/TPU sitecustomize from PYTHONPATH around the
-        # spawn so a worker can never initialize (and steal) the real
-        # device at interpreter start.  ONLY PYTHONPATH is touched:
-        # python reads it exclusively at child interpreter startup,
-        # while JAX_PLATFORMS / XLA_FLAGS are consulted by the
-        # PARENT's jax — the pool is built on the writer thread, and
-        # briefly flipping those in the parent races any jit tracing
-        # on the main thread (observed: the cache key changes under
-        # the in-flight chunk function, forcing a multi-minute
-        # re-lowering mid-run).  The jax-side guards are set in the
-        # CHILD instead (_init_worker).
-        saved = os.environ.get("PYTHONPATH")
+        saved = {k: os.environ.get(k)
+                 for k in ("JAX_PLATFORMS", "PYTHONPATH", "XLA_FLAGS")}
         try:
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["XLA_FLAGS"] = ""
             pp = [p for p in
                   os.environ.get("PYTHONPATH", "").split(os.pathsep)
                   if p and "axon" not in p]
@@ -93,10 +101,11 @@ class ProcHistoryPool:
                                   initializer=_init_worker,
                                   initargs=(tuple(writer_args),))
         finally:
-            if saved is None:
-                os.environ.pop("PYTHONPATH", None)
-            else:
-                os.environ["PYTHONPATH"] = saved
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         self._pending = []
 
     def submit(self, date, state, diag, accum, forc, mmf):
