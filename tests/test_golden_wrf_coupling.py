@@ -250,6 +250,43 @@ def test_sfclay_vs_oracle(opts):
             f"(regime {want['regime'][np.argmax(rel)]})")
 
 
+def test_sfclay_chained_carry_vs_oracle():
+    """SFCLAY as WRF drives it: ZNT/UST/MOL/RMOL/ZOL/QSFC/HFX/QFX/USTM
+    feed back step to step (the INOUT list of :244-257).  4 chained
+    steps with drifting forcing must track the scalar oracle."""
+    n, nsteps = 96, 4
+    inp = _sfclay_inputs(n)
+    carry_keys = ["znt", "ust", "mol", "rmol", "zol", "qsfc", "hfx",
+                  "qfx", "ustm"]
+    # start from the same neutral-ish carries in both paths
+    for k in ("mol", "rmol", "zol", "hfx", "qfx"):
+        inp[k] = np.zeros(n)
+    inp["qsfc"] = np.zeros(n)          # forces the sat init branch
+    jcarry = {k: F32(inp[k]) for k in carry_keys}
+    ocarry = [{k: float(inp[k][i]) for k in carry_keys}
+              for i in range(n)]
+    fn = jax.jit(W.sfclay)
+    for step in range(nsteps):
+        tsk = inp["tsk"] + 1.3 * step
+        ux = inp["ux"] * (1.0 + 0.07 * step)
+        base = dict(inp, tsk=tsk, ux=ux)
+        got = fn(**{k: (F32(base[k]) if k not in carry_keys
+                        else jcarry[k]) for k in base})
+        jcarry = {k: got[k] for k in carry_keys}
+        for i in range(n):
+            r = O.sfclay1d_oracle(
+                **{k: (base[k][i] if k not in carry_keys
+                       else ocarry[i][k]) for k in base})
+            ocarry[i] = {k: r[k] for k in carry_keys}
+    for k, tol, floor in (("ust", 5e-3, 1e-3), ("znt", 5e-3, 1e-5),
+                          ("mol", 1e-2, 1e-2), ("qsfc", 5e-3, 1e-5),
+                          ("hfx", 2e-2, 5.0), ("qfx", 2e-2, 1e-6)):
+        want = np.array([c[k] for c in ocarry])
+        rel = _rel(np.asarray(jcarry[k], np.float64), want, floor)
+        assert np.max(rel) < tol, (
+            f"{k}: max rel {np.max(rel):.3e} at {np.argmax(rel)}")
+
+
 def test_sfclay_regime3_exact_zero_br():
     """Forced-convection regime (BR == 0.0) is reachable only through
     the MOL<0 clamp (:494); both implementations must take it."""
