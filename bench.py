@@ -306,6 +306,18 @@ def multichip_bench():
                  "collectives; CPU-mesh runs validate the harness "
                  "only — not TPU scaling numbers"),
     }
+    if platform not in ("tpu", "axon"):
+        # On a virtual CPU mesh the N devices time-share the host's
+        # physical cores, so weak-scaling efficiency is bounded by
+        # cores/devices BEFORE any framework overhead — state the
+        # ceiling next to the number so it can be read.
+        ncores = os.cpu_count() or 1
+        bound = min(100.0, 100.0 * ncores / ndev)
+        payload["host_core_bound_efficiency_pct"] = round(bound, 1)
+        payload["note"] += (
+            f"; {ndev} virtual devices time-share {ncores} physical "
+            f"cores, capping ideal weak-scaling efficiency at "
+            f"{bound:.0f}% on this host")
     print(json.dumps(payload))
     _write_artifact("BENCH_multichip.json", payload)
 
